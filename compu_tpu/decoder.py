@@ -1,0 +1,138 @@
+"""Streaming decoder core: the type-erased driver over format pipelines.
+
+Behavioral equivalent of the reference's ``Decoder`` + ``decoder::Interface``
+(reference: src/decoder/mod.rs:160-455). The reference erases backend type
+behind a 2-word ``{instance, &'static Interface}`` vtable pair; here the
+``Interface`` is a registry of pipeline factories and ``Decoder`` is the
+driver that owns one pipeline instance and exposes the convenience I/O
+layer (``decode`` / ``decode_vec`` / ``decode_vec_full`` / ``decode_buf``,
+reference: src/decoder/mod.rs:299-427).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from .status import Decode, DecodeError, DecodeStatus
+from .vec import ByteVec
+from .formats.base import DecoderBackend
+
+
+class Decoder:
+    """Owns one decode pipeline and drives it through the status contract."""
+
+    __slots__ = ("_backend",)
+
+    def __init__(self, backend: DecoderBackend) -> None:
+        self._backend = backend
+
+    @property
+    def name(self) -> str:
+        return self._backend.name
+
+    # -- raw layer (reference: raw_decode / decode, decoder/mod.rs:290-321) --
+    def decode(self, inp, out) -> Decode:
+        """Decode ``inp`` into the writable buffer ``out``.
+
+        Never allocates output: only the provided buffer is written.
+        Returns byte counts left in each buffer plus the status.
+        """
+        return self._backend.decode(inp, out)
+
+    # -- convenience layer ---------------------------------------------------
+    def decode_vec(self, inp, vec: ByteVec) -> Decode:
+        """Decode into ``vec``'s spare capacity, advancing its length
+        (reference: decode_vec, decoder/mod.rs:323-335)."""
+        spare = vec.spare_capacity_mut()
+        result = self.decode(inp, spare)
+        vec.add_len(len(spare) - result.output_remain)
+        return result
+
+    def decode_vec_full(self, inp, vec: ByteVec) -> Decode:
+        """Decode a complete stream, growing ``vec`` as needed with the
+        reference's size-tiered allocation strategy
+        (reference: decode_vec_full, decoder/mod.rs:360-385)."""
+        size = len(inp)
+        if size < 1024:
+            vec.reserve_exact(size if size > 0 else 64)
+        elif size < 16_384:
+            vec.reserve_exact(size + size // 3)
+        elif size < 65_536:
+            vec.reserve_exact(size + size // 2)
+        else:
+            vec.reserve_exact(2 * size)
+        inp = memoryview(inp)
+        while True:
+            result = self.decode_vec(inp, vec)
+            if result.is_error or result.status is not DecodeStatus.NeedOutput:
+                return result
+            inp = inp[len(inp) - result.input_remain :]
+            vec.reserve_exact(1024 if len(vec) < 65_536 else 8192)
+
+    def decode_buf(self, inp, out_buf) -> Decode:
+        """Decode into a chunk-appending sink (the ``bytes::BufMut`` driver,
+        reference: decode_buf, decoder/mod.rs:394-427). ``out_buf`` must be a
+        ``bytearray`` (appended to in chunks)."""
+        inp = memoryview(inp)
+        chunk = bytearray(65_536)
+        while True:
+            result = self.decode(inp, chunk)
+            produced = len(chunk) - result.output_remain
+            out_buf.extend(chunk[:produced])
+            if result.is_error or result.status is not DecodeStatus.NeedOutput:
+                return Decode(result.input_remain, result.output_remain, result.status)
+            inp = inp[len(inp) - result.input_remain :]
+
+    def reset(self) -> bool:
+        """Re-arm for a new stream without losing options
+        (reference: decoder/mod.rs:433-441)."""
+        return self._backend.reset()
+
+    def describe_error(self, error) -> Optional[str]:
+        code = error.code if isinstance(error, DecodeError) else int(error)
+        return self._backend.describe_error(code)
+
+
+class Interface:
+    """Registry of decode pipeline factories + per-format constructors
+    (the reference's ``decoder::Interface`` vtable constructors,
+    e.g. ``Interface::zstd``, src/decoder/zstd.rs:81-94)."""
+
+    _registry: Dict[str, Callable[..., DecoderBackend]] = {}
+
+    @classmethod
+    def register(cls, name: str, factory: Callable[..., DecoderBackend]) -> None:
+        cls._registry[name] = factory
+
+    @classmethod
+    def new(cls, name: str, *args, **kwargs) -> Decoder:
+        try:
+            factory = cls._registry[name]
+        except KeyError:
+            raise ValueError(f"unknown decoder backend: {name!r}") from None
+        return Decoder(factory(*args, **kwargs))
+
+    # -- convenience constructors -------------------------------------------
+    @staticmethod
+    def stored() -> Decoder:
+        from .formats import stored
+
+        return Decoder(stored.StoredDecoder())
+
+    @staticmethod
+    def zlib(options=None) -> Decoder:
+        from .formats.deflate import pipeline
+
+        return Decoder(pipeline.DeflateDecoder(options))
+
+    @staticmethod
+    def zstd(options=None) -> Decoder:
+        from .formats.zstd import pipeline
+
+        return Decoder(pipeline.ZstdDecoder(options))
+
+    @staticmethod
+    def brotli(options=None) -> Decoder:
+        from .formats.brotli import pipeline
+
+        return Decoder(pipeline.BrotliDecoder(options))

@@ -1,0 +1,216 @@
+"""Roundtrip state-machine tests, mirroring the reference test harness:
+
+* one-shot encode with NeedOutput finalization for header-dominated tiny
+  inputs (tests/encoder.rs:10-40);
+* Buffer-chunked encode byte-identical to one-shot (tests/encoder.rs:43-57);
+* encode_vec_full byte-identical (tests/encoder.rs:61-66);
+* decode: one-shot exact, partial-output restart, Buffer-chunked loop,
+  decode_vec_full (tests/decoder.rs:21-77);
+* Process -> Flush -> Finish(empty input) 3-op protocol with chunked decode
+  asserting NeedInput between chunks (tests/encoder.rs:115-173).
+
+Every registered format backend runs through the same oracle.
+"""
+
+import pathlib
+import sys
+
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from compu_tpu import (
+    Buffer,
+    ByteVec,
+    DecodeError,
+    DecodeStatus,
+    Detection,
+    EncodeOp,
+    EncodeStatus,
+    decoder,
+    encoder,
+)
+
+DATA_DIR = pathlib.Path(__file__).parent / "data"
+
+TINY = b"X" * 10 + b"Y" * 10  # the reference's 10x10y fixture content
+
+
+def load_corpus():
+    alice = DATA_DIR / "alice29.txt"
+    data = [TINY]
+    if alice.exists():
+        data.append(alice.read_bytes())
+    return data
+
+
+# (name, encoder factory, decoder factory, expected detection of own output)
+BACKENDS = [
+    ("stored", encoder.Interface.stored, decoder.Interface.stored, Detection.Unknown),
+]
+
+
+def roundtrip_case(enc, dec, data, expected_detection):
+    """Port of the reference's encoder test_case driver."""
+    # --- one-shot encode into a data-sized buffer ---
+    compressed_buf = bytearray(len(data))
+    result = enc.encode(data, compressed_buf, EncodeOp.Finish)
+    assert result.input_remain == 0
+    if result.status is EncodeStatus.NeedOutput:
+        # Header-dominated tiny inputs: grow and finalize.
+        extra = bytearray(len(data) + 4096)
+        result2 = enc.encode(b"", extra, EncodeOp.Finish)
+        assert result2.status is EncodeStatus.Finished
+        compressed = bytes(compressed_buf) + bytes(extra[: len(extra) - result2.output_remain])
+    else:
+        assert result.status is EncodeStatus.Finished
+        compressed = bytes(compressed_buf[: len(compressed_buf) - result.output_remain])
+
+    assert Detection.detect(compressed) == expected_detection
+
+    # --- one-shot decode ---
+    out = bytearray(len(data))
+    result = dec.decode(compressed, out)
+    assert result.status is DecodeStatus.Finished
+    assert result.input_remain == 0
+    assert result.output_remain == 0
+    assert bytes(out) == data
+
+    # --- Buffer-chunked encode, byte-identical to one-shot ---
+    assert enc.reset()
+    buffer = Buffer(4096)
+    chunked = bytearray()
+    remaining = memoryview(data)
+    while True:
+        consumed, status = buffer.encode(enc, remaining, EncodeOp.Finish)
+        remaining = remaining[consumed:]
+        chunked.extend(buffer.data())
+        buffer.consume()
+        assert status.status is not EncodeStatus.Error
+        if status.status is EncodeStatus.Finished:
+            break
+    assert bytes(chunked) == compressed, "chunked encode must equal one-shot"
+
+    # --- encode_vec_full, byte-identical ---
+    assert enc.reset()
+    full = ByteVec()
+    result = enc.encode_vec_full(data, full, EncodeOp.Finish)
+    assert result.status is EncodeStatus.Finished
+    assert result.input_remain == 0
+    assert full.data() == compressed
+
+    # --- Buffer-chunked decode ---
+    assert dec.reset()
+    buffer = Buffer(4096)
+    decoded = bytearray()
+    remaining = memoryview(compressed)
+    while True:
+        consumed, result = buffer.decode(dec, remaining)
+        assert not result.is_error
+        remaining = remaining[consumed:]
+        decoded.extend(buffer.data())
+        buffer.consume()
+        if result.status is DecodeStatus.Finished:
+            break
+    assert bytes(decoded) == data
+
+    # --- decode_vec_full ---
+    assert dec.reset()
+    vec = ByteVec()
+    result = dec.decode_vec_full(compressed, vec)
+    assert result.status is DecodeStatus.Finished
+    assert result.input_remain == 0
+    assert vec.data() == data
+
+    assert enc.reset()
+    assert dec.reset()
+    return compressed
+
+
+def partial_output_case(dec, data, compressed):
+    """Port of the reference's decoder partial-buffer driver
+    (tests/decoder.rs:33-43)."""
+    out = bytearray(len(data))
+    half = len(data) // 2
+    result = dec.decode(compressed, memoryview(out)[:half])
+    assert result.status is DecodeStatus.NeedOutput
+    assert result.output_remain == 0
+    remaining = compressed[len(compressed) - result.input_remain :]
+    result = dec.decode(remaining, memoryview(out)[half:])
+    assert result.status is DecodeStatus.Finished
+    assert bytes(out) == data
+    assert dec.reset()
+
+
+def empty_final_case(enc, dec, data):
+    """Port of the 3-op protocol driver (tests/encoder.rs:115-173)."""
+    compressed = ByteVec()
+    compressed.reserve_exact(len(data) + 4096)
+
+    result = enc.encode_vec(data, compressed, EncodeOp.Process)
+    assert result.status is not EncodeStatus.Error
+
+    result = enc.encode_vec(b"", compressed, EncodeOp.Flush)
+    assert result.input_remain == 0
+    assert result.status is EncodeStatus.Continue
+
+    compressed.reserve_exact(4096)
+    result = enc.encode_vec(b"", compressed, EncodeOp.Finish)
+    assert result.status is EncodeStatus.Finished
+
+    blob = compressed.data()
+    decoded = ByteVec()
+    decoded.reserve_exact(len(data) + 100)
+    chunk_size = max(1, len(blob) // 4)
+    finished = False
+    for idx in range(0, len(blob), chunk_size):
+        chunk = blob[idx : idx + chunk_size]
+        result = dec.decode_vec(chunk, decoded)
+        assert result.input_remain == 0
+        assert not result.is_error
+        if result.status is DecodeStatus.Finished:
+            finished = True
+            break
+        assert result.status is DecodeStatus.NeedInput
+    assert finished
+    assert decoded.data() == data
+    assert enc.reset()
+    assert dec.reset()
+
+
+@pytest.mark.parametrize("name,make_enc,make_dec,detection", BACKENDS)
+def test_roundtrip(name, make_enc, make_dec, detection):
+    enc, dec = make_enc(), make_dec()
+    for data in load_corpus():
+        compressed = roundtrip_case(enc, dec, data, detection)
+        partial_output_case(dec, data, compressed)
+
+
+@pytest.mark.parametrize("name,make_enc,make_dec,detection", BACKENDS)
+def test_empty_final(name, make_enc, make_dec, detection):
+    enc, dec = make_enc(), make_dec()
+    for data in load_corpus():
+        empty_final_case(enc, dec, data)
+
+
+@pytest.mark.parametrize("name,make_enc,make_dec,detection", BACKENDS)
+def test_describe_error(name, make_enc, make_dec, detection):
+    dec = make_dec()
+    assert dec.describe_error(DecodeError.no_error()) is not None
+
+
+@pytest.mark.parametrize("name,make_enc,make_dec,detection", BACKENDS)
+def test_encode_buf_decode_buf(name, make_enc, make_dec, detection):
+    """The bytes::BufMut chunked drivers (tests/encoder.rs:81-113)."""
+    enc, dec = make_enc(), make_dec()
+    for data in load_corpus():
+        compressed = bytearray()
+        result = enc.encode_buf(data, compressed, EncodeOp.Finish)
+        assert result.status is EncodeStatus.Finished
+        assert result.input_remain == 0
+        decoded = bytearray()
+        result = dec.decode_buf(bytes(compressed), decoded)
+        assert result.status is DecodeStatus.Finished
+        assert bytes(decoded) == data
+        assert enc.reset()
+        assert dec.reset()
