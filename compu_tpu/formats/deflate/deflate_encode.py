@@ -1,0 +1,533 @@
+"""Data-parallel DEFLATE encoder core.
+
+Everything is formulated as array programs (the same shapes the device
+kernels use; numpy is the host oracle — see kernels/ for the Pallas forms):
+
+1. *Match finding*: hash every position's 3-byte prefix, link equal-hash
+   positions into chains with one stable argsort, walk the chain ``depth``
+   steps by gathers, and measure all candidate match lengths simultaneously
+   with 8-byte XOR compares over an active set.
+2. *Parse*: greedy+lazy cover selection expressed as a pointer-jumping
+   problem — ``nxt[i] = i + len(i)`` and the token positions are the path
+   from 0, extracted with O(log n) pointer doubling (no serial scan).
+3. *Entropy stage*: histograms via bincount, optimal length-limited Huffman
+   (package-merge), vectorized symbol→(code|extra) mapping, prefix-sum bit
+   packing.
+
+Matches never cross the pipeline's outer block boundary (window resets per
+device block), which is what makes self-produced streams block-parallel
+decodable; within a block matches span sub-blocks freely (32 KiB window,
+same as zlib).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...ops.bitio import pack_bits, reverse_bits
+from ...ops.huffman import canonical_codes, length_limited_lengths
+from . import consts
+from .options import ZlibStrategy
+
+# Chain-walk depth per compression level (level 0 = stored, handled above).
+LEVEL_DEPTH = [0, 1, 2, 4, 4, 8, 8, 16, 24, 32]
+# Lazy matching kicks in at level >= 4 (as in zlib).
+LEVEL_LAZY = [False, False, False, False, True, True, True, True, True, True]
+
+SUBBLOCK = 65536  # input bytes per deflate block (adaptive Huffman locality)
+
+
+# ---------------------------------------------------------------------------
+# Match finding
+# ---------------------------------------------------------------------------
+def _build_u64_view(data: np.ndarray, pad: int) -> np.ndarray:
+    """u64[i] = little-endian 8 bytes at i (zero-padded past the end)."""
+    padded = np.zeros(len(data) + pad, dtype=np.uint8)
+    padded[: len(data)] = data
+    u64 = np.zeros(len(data) + pad - 8, dtype=np.uint64)
+    for k in range(8):
+        u64 |= padded[k : k + len(u64)].astype(np.uint64) << np.uint64(8 * k)
+    return u64
+
+
+def _match_lengths(u64: np.ndarray, pos: np.ndarray, cand: np.ndarray, limit: np.ndarray) -> np.ndarray:
+    """Common-prefix length of data[pos:] vs data[cand:], capped at limit.
+
+    8-byte XOR steps over a shrinking active set — every pair advances in
+    lockstep, so the loop count is bounded by max_len/8.
+    """
+    m = len(pos)
+    lens = np.zeros(m, dtype=np.int64)
+    active = np.arange(m)
+    while active.size:
+        a = u64[pos[active] + lens[active]]
+        b = u64[cand[active] + lens[active]]
+        x = a ^ b
+        cnt = np.zeros(active.size, dtype=np.int64)
+        cum = np.ones(active.size, dtype=bool)
+        for k in range(8):
+            cum = cum & (((x >> np.uint64(8 * k)) & np.uint64(0xFF)) == 0)
+            cnt += cum
+        lens[active] += cnt
+        keep = (cnt == 8) & (lens[active] < limit[active])
+        active = active[keep]
+    return np.minimum(lens, limit)
+
+
+def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy):
+    """Best (length, distance) per position. Returns (lens, dists) int64
+    arrays; positions without a usable match have len 0."""
+    n = len(data)
+    lens = np.zeros(n, dtype=np.int64)
+    dists = np.zeros(n, dtype=np.int64)
+    if n < consts.MIN_MATCH + 1 or strategy is ZlibStrategy.HuffmanOnly:
+        return lens, dists
+
+    u64 = _build_u64_view(data, consts.MAX_MATCH + 16)
+    limit = np.minimum(consts.MAX_MATCH, n - np.arange(n))
+
+    if strategy is ZlibStrategy.Rle:
+        # Distance-1 matches only (run-length mode).
+        pos = np.arange(1, n)
+        cand = pos - 1
+        l = _match_lengths(u64, pos, cand, limit[1:])
+        ok = l >= consts.MIN_MATCH
+        lens[pos[ok]] = l[ok]
+        dists[pos[ok]] = 1
+        return lens, dists
+
+    m = n - 2  # positions with a full 3-byte prefix
+    v = (
+        data[:m].astype(np.uint32)
+        | (data[1 : m + 1].astype(np.uint32) << np.uint32(8))
+        | (data[2 : m + 2].astype(np.uint32) << np.uint32(16))
+    )
+    h = ((v * np.uint32(2654435761)) >> np.uint32(16)).astype(np.uint32)
+    # prev[i] = nearest earlier position with the same hash (-1 if none):
+    # one stable sort groups positions by hash in position order.
+    order = np.argsort(h, kind="stable")
+    prev = np.full(m, -1, dtype=np.int64)
+    same = h[order[1:]] == h[order[:-1]]
+    prev[order[1:][same]] = order[:-1][same]
+
+    depth = LEVEL_DEPTH[level]
+    pos_all = np.arange(m)
+    cand = prev
+    best_len = np.zeros(m, dtype=np.int64)
+    best_dist = np.zeros(m, dtype=np.int64)
+    for _ in range(depth):
+        valid = (cand >= 0) & (pos_all - cand <= consts.WINDOW_SIZE)
+        idx = np.nonzero(valid & (best_len < consts.MAX_MATCH))[0]
+        if idx.size == 0:
+            break
+        l = _match_lengths(u64, idx, cand[idx], limit[idx])
+        better = l > best_len[idx]
+        upd = idx[better]
+        best_len[upd] = l[better]
+        best_dist[upd] = upd - cand[upd]
+        # step chains: candidate of the candidate
+        cand = np.where(cand >= 0, prev[np.maximum(cand, 0)], -1)
+
+    ok = best_len >= consts.MIN_MATCH
+    # zlib "too far" heuristic: a 3-byte match beyond 4096 costs more than
+    # the literals it replaces.
+    ok &= ~((best_len == consts.MIN_MATCH) & (best_dist > 4096))
+    if strategy is ZlibStrategy.Filtered:
+        # Favor literals: only take clearly-winning matches.
+        ok &= best_len >= 5
+    lens[:m][ok] = best_len[ok]
+    dists[:m][ok] = best_dist[ok]
+    return lens, dists
+
+
+def greedy_cover(nxt: np.ndarray) -> np.ndarray:
+    """Token start positions: the path 0 → nxt[0] → … → n, extracted with
+    pointer doubling (after k rounds the path's first 2^k nodes are marked
+    and the jump table advances 2^k steps)."""
+    n = len(nxt)
+    jump = np.concatenate([nxt, [n]]).astype(np.int64)
+    on_path = np.zeros(n + 1, dtype=bool)
+    on_path[0] = True
+    count = 1
+    while True:
+        targets = jump[on_path.nonzero()[0]]
+        on_path[targets] = True
+        new_count = int(on_path.sum())
+        if new_count == count:
+            break
+        count = new_count
+        jump = jump[jump]
+    return on_path[:n].nonzero()[0]
+
+
+def tokenize(data: np.ndarray, level: int, strategy: ZlibStrategy):
+    """Full parse: returns (token_pos, tok_len, tok_dist) where tok_len==0
+    marks a literal token."""
+    n = len(data)
+    lens, dists = find_matches(data, level, strategy)
+    if LEVEL_LAZY[level] and n > 1:
+        # Lazy heuristic: if the next position has a strictly longer match,
+        # demote this one to a literal.
+        demote = np.zeros(n, dtype=bool)
+        demote[:-1] = lens[1:] > lens[:-1]
+        lens = np.where(demote, 0, lens)
+    take = lens >= consts.MIN_MATCH
+    nxt = np.arange(n) + np.where(take, lens, 1)
+    tok_pos = greedy_cover(nxt)
+    tl = lens[tok_pos] * take[tok_pos]
+    td = dists[tok_pos] * take[tok_pos]
+    return tok_pos, tl, td
+
+
+# ---------------------------------------------------------------------------
+# Block emission
+# ---------------------------------------------------------------------------
+def _token_symbols(data, tok_pos, tok_len, tok_dist):
+    """litlen / dist symbols + extra fields for a token slice."""
+    is_match = tok_len > 0
+    lit_syms = np.where(
+        is_match, consts.LENGTH_CODE[np.minimum(tok_len, consts.MAX_MATCH)], data[tok_pos]
+    ).astype(np.int64)
+    dsyms = consts.DIST_CODE[tok_dist].astype(np.int64)
+    return is_match, lit_syms, dsyms
+
+
+def _rle_code_lengths(all_lengths: np.ndarray):
+    """RLE the code-length sequence with repeat symbols 16/17/18
+    (RFC1951 §3.2.7). Returns (clen_syms, extra_vals, extra_bits) lists."""
+    syms: list[int] = []
+    extra_vals: list[int] = []
+    extra_bits: list[int] = []
+    i = 0
+    L = len(all_lengths)
+    while i < L:
+        v = int(all_lengths[i])
+        run = 1
+        while i + run < L and int(all_lengths[i + run]) == v:
+            run += 1
+        consumed = run
+        if v == 0:
+            while run >= 11:
+                take = min(run, 138)
+                syms.append(18)
+                extra_vals.append(take - 11)
+                extra_bits.append(7)
+                run -= take
+            while run >= 3:
+                take = min(run, 10)
+                syms.append(17)
+                extra_vals.append(take - 3)
+                extra_bits.append(3)
+                run -= take
+            syms.extend([0] * run)
+            extra_vals.extend([0] * run)
+            extra_bits.extend([0] * run)
+        else:
+            syms.append(v)
+            extra_vals.append(0)
+            extra_bits.append(0)
+            run -= 1
+            while run >= 3:
+                take = min(run, 6)
+                syms.append(16)
+                extra_vals.append(take - 3)
+                extra_bits.append(2)
+                run -= take
+            syms.extend([v] * run)
+            extra_vals.extend([0] * run)
+            extra_bits.extend([0] * run)
+        i += consumed
+    return syms, extra_vals, extra_bits
+
+
+def _dynamic_header_fields(lit_lengths: np.ndarray, dist_lengths: np.ndarray):
+    """Dynamic-block header (RFC1951 §3.2.7) as (values, nbits) field arrays."""
+    hlit = max(257, int(np.nonzero(lit_lengths)[0].max()) + 1)
+    nz_d = np.nonzero(dist_lengths)[0]
+    hdist = (int(nz_d[-1]) + 1) if len(nz_d) else 1
+    all_lengths = np.concatenate([lit_lengths[:hlit], dist_lengths[:hdist]])
+
+    syms, extra_vals, extra_bits = _rle_code_lengths(all_lengths)
+    clen_freq = np.bincount(np.asarray(syms, dtype=np.int64), minlength=19)
+    clen_lengths = length_limited_lengths(clen_freq, 7)
+    clen_codes = canonical_codes(clen_lengths)
+    clen_rev = reverse_bits(clen_codes, clen_lengths.astype(np.uint32), 7)
+
+    # HCLEN: last transmitted slot (in the permuted order) with nonzero length.
+    order_lengths = clen_lengths[consts.CLEN_ORDER]
+    nz = np.nonzero(order_lengths)[0]
+    hclen = max(4, int(nz[-1]) + 1)
+
+    values: list[int] = [hlit - 257, hdist - 1, hclen - 4]
+    nbits: list[int] = [5, 5, 4]
+    for i in range(hclen):
+        values.append(int(order_lengths[i]))
+        nbits.append(3)
+    for s, ev, eb in zip(syms, extra_vals, extra_bits):
+        values.append(int(clen_rev[s]))
+        nbits.append(int(clen_lengths[s]))
+        if eb:
+            values.append(ev)
+            nbits.append(eb)
+    return np.asarray(values, dtype=np.uint64), np.asarray(nbits, dtype=np.int64)
+
+
+def _token_fields(data, tok_pos, tok_len, tok_dist, lit_rev, lit_len_arr, dist_rev, dist_len_arr):
+    """Vectorized token → bit-field mapping.
+
+    Each literal is one field (code); each match is two fields
+    (lencode|extra, distcode|extra). Fields are interleaved in token order
+    with exclusive-prefix-sum placement, then the EOB code is appended.
+    """
+    is_match = tok_len > 0
+    n_tok = len(tok_pos)
+    field_count = np.where(is_match, 2, 1)
+    start = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(field_count)[:-1]])
+    total = int(field_count.sum()) + 1
+
+    values = np.zeros(total, dtype=np.uint64)
+    nbits = np.zeros(total, dtype=np.int64)
+
+    lit_mask = ~is_match
+    lit_bytes = data[tok_pos[lit_mask]].astype(np.int64)
+    values[start[lit_mask]] = lit_rev[lit_bytes]
+    nbits[start[lit_mask]] = lit_len_arr[lit_bytes]
+
+    if is_match.any():
+        mpos = start[is_match]
+        mlens = tok_len[is_match]
+        mdists = tok_dist[is_match]
+        lsym = consts.LENGTH_CODE[mlens]
+        lextra_bits = consts.LENGTH_EXTRA[lsym - 257].astype(np.int64)
+        lextra_val = (mlens - consts.LENGTH_BASE[lsym - 257]).astype(np.uint64)
+        lcode_len = lit_len_arr[lsym]
+        values[mpos] = lit_rev[lsym] | (lextra_val << lcode_len.astype(np.uint64))
+        nbits[mpos] = lcode_len + lextra_bits
+
+        dsym = consts.DIST_CODE[mdists]
+        dextra_bits = consts.DIST_EXTRA[dsym].astype(np.int64)
+        dextra_val = (mdists - consts.DIST_BASE[dsym]).astype(np.uint64)
+        dcode_len = dist_len_arr[dsym]
+        values[mpos + 1] = dist_rev[dsym] | (dextra_val << dcode_len.astype(np.uint64))
+        nbits[mpos + 1] = dcode_len + dextra_bits
+
+    # EOB
+    values[-1] = lit_rev[256]
+    nbits[-1] = lit_len_arr[256]
+    return values, nbits
+
+
+class DeflateStream:
+    """Bit-level deflate block emitter with cross-call remainder carry.
+
+    ``compress(chunk, final)`` consumes one pipeline block of input and
+    returns the whole bytes produced so far; partial trailing bits stay
+    buffered so consecutive blocks form one continuous bit stream (chunked
+    output is byte-identical to one-shot — the reference's determinism
+    invariant, tests/encoder.rs:56-57).
+    """
+
+    def __init__(self, level: int, strategy: ZlibStrategy) -> None:
+        self.level = level
+        self.strategy = strategy
+        self.tail_bits = 0
+        self.tail_byte = 0
+        self.final_emitted = False
+
+    def reset(self) -> None:
+        self.tail_bits = 0
+        self.tail_byte = 0
+        self.final_emitted = False
+
+    # -- low-level field emission -------------------------------------
+    def _pack(self, values, nbits) -> bytes:
+        out, self.tail_bits, self.tail_byte = pack_bits(
+            values, nbits, self.tail_bits, self.tail_byte
+        )
+        return out
+
+    def align(self) -> bytes:
+        """Pad with zero bits to a byte boundary."""
+        if self.tail_bits:
+            out = bytes([self.tail_byte])
+            self.tail_bits = 0
+            self.tail_byte = 0
+            return out
+        return b""
+
+    # -- block emitters -------------------------------------------------
+    def _stored_fields(self, data: np.ndarray, final: bool):
+        """Stored block(s): header, align, LEN/NLEN, raw bytes."""
+        pieces = []
+        n = len(data)
+        offset = 0
+        while True:
+            take = min(n - offset, 65535)
+            last = final and (offset + take == n)
+            values = [int(last), 0]
+            nbits = [1, 2]
+            pad = (8 - ((self.tail_bits + 3) % 8)) % 8
+            if pad:
+                values.append(0)
+                nbits.append(pad)
+            values += [take, take ^ 0xFFFF]
+            nbits += [16, 16]
+            pieces.append((np.asarray(values, dtype=np.uint64), np.asarray(nbits, dtype=np.int64)))
+            chunk = data[offset : offset + take]
+            pieces.append((chunk.astype(np.uint64), np.full(len(chunk), 8, dtype=np.int64)))
+            offset += take
+            if offset >= n:
+                break
+        return pieces
+
+    def _huffman_block(self, data, tok_pos, tok_len, tok_dist, final: bool) -> bytes:
+        """Choose stored/fixed/dynamic for one token slice and emit it."""
+        is_match, lit_syms, dsyms = _token_symbols(data, tok_pos, tok_len, tok_dist)
+        lit_freq = np.bincount(lit_syms, minlength=286)
+        lit_freq[256] += 1  # EOB
+        dist_freq = np.bincount(dsyms[is_match], minlength=30)
+
+        blk_start = int(tok_pos[0]) if len(tok_pos) else 0
+        blk_end = (
+            int(tok_pos[-1]) + int(max(tok_len[-1], 1)) if len(tok_pos) else 0
+        )
+        raw_len = blk_end - blk_start
+
+        # Candidate costs (bits).
+        fixed_cost = int(
+            np.sum(lit_freq * consts.FIXED_LITLEN_LENGTHS[: len(lit_freq)])
+            + np.sum(dist_freq * consts.FIXED_DIST_LENGTHS)
+            + np.sum(consts.LENGTH_EXTRA[lit_syms[is_match] - 257])
+            + np.sum(consts.DIST_EXTRA[dsyms[is_match]])
+        ) + 3
+        stored_cost = 8 * raw_len + 40 * (-(-max(raw_len, 1) // 65535)) + 7
+
+        if self.strategy is ZlibStrategy.Fixed:
+            dyn_cost = 1 << 62
+            dyn = None
+        else:
+            lit_lengths = length_limited_lengths(lit_freq, 15)
+            if not dist_freq.any():
+                # A dynamic block must still declare >= 1 distance code.
+                dist_lengths = np.zeros(30, dtype=np.uint8)
+                dist_lengths[0] = 1
+            else:
+                dist_lengths = length_limited_lengths(dist_freq, 15)
+                if int((dist_lengths > 0).sum()) == 1:
+                    # Single real dist code: keep it at length 1.
+                    dist_lengths = np.where(dist_freq > 0, 1, 0).astype(np.uint8)
+            hdr_vals, hdr_bits = _dynamic_header_fields(
+                lit_lengths.astype(np.int64), dist_lengths.astype(np.int64)
+            )
+            dyn_cost = (
+                int(hdr_bits.sum())
+                + int(np.sum(lit_freq * lit_lengths))
+                + int(np.sum(dist_freq * dist_lengths))
+                + int(np.sum(consts.LENGTH_EXTRA[lit_syms[is_match] - 257]))
+                + int(np.sum(consts.DIST_EXTRA[dsyms[is_match]]))
+                + 3
+            )
+            dyn = (lit_lengths, dist_lengths, hdr_vals, hdr_bits)
+
+        if stored_cost <= min(fixed_cost, dyn_cost):
+            pieces = self._stored_fields(data[blk_start:blk_end], final)
+            out = bytearray()
+            for values, nbits in pieces:
+                out.extend(self._pack(values, nbits))
+            return bytes(out)
+
+        if fixed_cost <= dyn_cost:
+            lit_lengths = consts.FIXED_LITLEN_LENGTHS
+            dist_lengths = consts.FIXED_DIST_LENGTHS
+            header_vals = np.asarray([int(final), 1], dtype=np.uint64)
+            header_bits = np.asarray([1, 2], dtype=np.int64)
+        else:
+            lit_lengths, dist_lengths, hdr_vals, hdr_bits = dyn
+            lit_lengths = lit_lengths.astype(np.int64)
+            dist_lengths = dist_lengths.astype(np.int64)
+            header_vals = np.concatenate(
+                [np.asarray([int(final), 2], dtype=np.uint64), hdr_vals]
+            )
+            header_bits = np.concatenate([np.asarray([1, 2], dtype=np.int64), hdr_bits])
+
+        lit_codes = canonical_codes(lit_lengths)
+        lit_rev = reverse_bits(lit_codes, lit_lengths.astype(np.uint32)).astype(np.uint64)
+        dist_codes = canonical_codes(dist_lengths)
+        dist_rev = reverse_bits(dist_codes, dist_lengths.astype(np.uint32)).astype(np.uint64)
+        tok_vals, tok_bits = _token_fields(
+            data,
+            tok_pos,
+            tok_len,
+            tok_dist,
+            lit_rev,
+            np.asarray(lit_lengths, dtype=np.int64),
+            dist_rev,
+            np.asarray(dist_lengths, dtype=np.int64),
+        )
+        values = np.concatenate([header_vals, tok_vals])
+        nbits = np.concatenate([header_bits, tok_bits])
+        return self._pack(values, nbits)
+
+    # -- public entry ----------------------------------------------------
+    def compress(self, chunk: bytes, final: bool) -> bytes:
+        """Compress one pipeline block into deflate blocks."""
+        data = np.frombuffer(chunk, dtype=np.uint8)
+        n = len(data)
+        out = bytearray()
+        if n == 0:
+            if final:
+                out.extend(self._emit_empty_final())
+            return bytes(out)
+        if self.level == 0:
+            pieces = self._stored_fields(data, final)
+            for values, nbits in pieces:
+                out.extend(self._pack(values, nbits))
+            if final:
+                self.final_emitted = True
+            return bytes(out)
+
+        tok_pos, tok_len, tok_dist = tokenize(data, self.level, self.strategy)
+        # Split tokens into sub-blocks at ~SUBBLOCK input-byte boundaries so
+        # Huffman tables adapt locally (zlib's block granularity).
+        boundaries = np.searchsorted(tok_pos, np.arange(SUBBLOCK, n, SUBBLOCK))
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(tok_pos)]])
+        slices = [(int(s), int(e)) for s, e in zip(starts, ends) if s < e]
+        for bi, (s, e) in enumerate(slices):
+            last = final and bi == len(slices) - 1
+            out.extend(
+                self._huffman_block(data, tok_pos[s:e], tok_len[s:e], tok_dist[s:e], last)
+            )
+        if final:
+            self.final_emitted = True
+        return bytes(out)
+
+    def _emit_empty_final(self) -> bytes:
+        """Empty final stored block (Finish with no pending input)."""
+        values = [1, 0]
+        nbits = [1, 2]
+        pad = (8 - ((self.tail_bits + 3) % 8)) % 8
+        if pad:
+            values.append(0)
+            nbits.append(pad)
+        values += [0, 0xFFFF]
+        nbits += [16, 16]
+        self.final_emitted = True
+        return self._pack(
+            np.asarray(values, dtype=np.uint64), np.asarray(nbits, dtype=np.int64)
+        )
+
+    def sync_flush(self) -> bytes:
+        """Z_SYNC_FLUSH equivalent: empty non-final stored block, leaving the
+        stream byte-aligned at a resume point."""
+        values = [0, 0]
+        nbits = [1, 2]
+        pad = (8 - ((self.tail_bits + 3) % 8)) % 8
+        if pad:
+            values.append(0)
+            nbits.append(pad)
+        values += [0, 0xFFFF]
+        nbits += [16, 16]
+        return self._pack(
+            np.asarray(values, dtype=np.uint64), np.asarray(nbits, dtype=np.int64)
+        )

@@ -44,9 +44,25 @@ def load_corpus():
     return data
 
 
+from compu_tpu.formats.deflate.options import ZlibMode, ZlibOptions
+
+
+def _zlib_enc(mode, level=6):
+    return lambda: encoder.Interface.zlib(ZlibOptions(mode=mode, level=level))
+
+
+def _zlib_dec(mode):
+    return lambda: decoder.Interface.zlib(mode)
+
+
 # (name, encoder factory, decoder factory, expected detection of own output)
 BACKENDS = [
     ("stored", encoder.Interface.stored, decoder.Interface.stored, Detection.Unknown),
+    ("zlib", _zlib_enc(ZlibMode.Zlib), _zlib_dec(ZlibMode.Zlib), Detection.Zlib),
+    ("gzip", _zlib_enc(ZlibMode.Gzip), _zlib_dec(ZlibMode.Gzip), Detection.Gzip),
+    ("deflate-raw", _zlib_enc(ZlibMode.Deflate), _zlib_dec(ZlibMode.Deflate), Detection.Unknown),
+    ("zlib-auto", _zlib_enc(ZlibMode.Zlib), _zlib_dec(ZlibMode.Auto), Detection.Zlib),
+    ("gzip-auto", _zlib_enc(ZlibMode.Gzip), _zlib_dec(ZlibMode.Auto), Detection.Gzip),
 ]
 
 
