@@ -31,6 +31,9 @@ from .options import ZlibStrategy
 
 # Chain-walk depth per compression level (level 0 = stored, handled above).
 LEVEL_DEPTH = [0, 1, 2, 4, 4, 8, 8, 16, 24, 32]
+# Stop extending a position's chain once its match reaches this length
+# (zlib's nice_length ladder).
+LEVEL_NICE = [0, 8, 16, 32, 32, 64, 128, 128, 258, 258]
 # Lazy matching kicks in at level >= 4 (as in zlib).
 LEVEL_LAZY = [False, False, False, False, True, True, True, True, True, True]
 
@@ -63,11 +66,11 @@ def _match_lengths(u64: np.ndarray, pos: np.ndarray, cand: np.ndarray, limit: np
         a = u64[pos[active] + lens[active]]
         b = u64[cand[active] + lens[active]]
         x = a ^ b
-        cnt = np.zeros(active.size, dtype=np.int64)
-        cum = np.ones(active.size, dtype=bool)
-        for k in range(8):
-            cum = cum & (((x >> np.uint64(8 * k)) & np.uint64(0xFF)) == 0)
-            cnt += cum
+        # Matching byte count = trailing-zero bytes of the XOR:
+        # popcount((x & -x) - 1) >> 3, with x == 0 meaning all 8 match.
+        low = x & (np.uint64(0) - x)
+        cnt = (np.bitwise_count(low - np.uint64(1)) >> np.uint8(3)).astype(np.int64)
+        cnt = np.where(x == 0, np.int64(8), cnt)
         lens[active] += cnt
         keep = (cnt == 8) & (lens[active] < limit[active])
         active = active[keep]
@@ -111,13 +114,14 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy):
     prev[order[1:][same]] = order[:-1][same]
 
     depth = LEVEL_DEPTH[level]
+    nice = LEVEL_NICE[level]
     pos_all = np.arange(m)
     cand = prev
     best_len = np.zeros(m, dtype=np.int64)
     best_dist = np.zeros(m, dtype=np.int64)
     for _ in range(depth):
         valid = (cand >= 0) & (pos_all - cand <= consts.WINDOW_SIZE)
-        idx = np.nonzero(valid & (best_len < consts.MAX_MATCH))[0]
+        idx = np.nonzero(valid & (best_len < nice))[0]
         if idx.size == 0:
             break
         l = _match_lengths(u64, idx, cand[idx], limit[idx])

@@ -1,0 +1,120 @@
+"""Device block-codec steps for the block-parallel scheduler.
+
+Transfer discipline (the design constraint on high-latency device links,
+and good hygiene on any link):
+
+* ONE bulk H2D of the block matrix;
+* per-block async kernel dispatch (vmap/scan lowering of the scatter-heavy
+  encode graph is pathologically slow on TPU — per-block dispatch measured
+  ~0.2 ms/block regardless of content);
+* metadata returned as small arrays, never scalars (per-scalar buffer
+  syncs are catastrophic on high-RTT runtimes);
+* device-side compaction of the padded per-block outputs into one
+  exact-length byte buffer (sequential dynamic_update_slice — later blocks
+  overwrite the previous block's padding overhang), so D2H is ONE transfer
+  of the actual compressed bytes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..formats.deflate.options import ZlibMode
+from ..ops import checksum
+from .checksum_jax import crc32_lane_registers
+from .deflate_jax import encode_block_fixed
+
+# level -> (depth, nice, lazy), the same ladder the host pipeline uses.
+_LEVEL = {
+    1: (1, 8, False),
+    2: (2, 16, False),
+    3: (4, 32, False),
+    4: (4, 32, True),
+    5: (8, 64, True),
+    6: (8, 128, True),
+    7: (16, 128, True),
+    8: (24, 258, True),
+    9: (32, 258, True),
+}
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact(stacked: jnp.ndarray, lens: jnp.ndarray, *, cap: int) -> jnp.ndarray:
+    """Pack B padded blocks (B, cap) into one contiguous buffer.
+
+    Block i lands at offset sum(lens[:i]); each dynamic_update_slice writes
+    its full cap window, and the next block's write overwrites the overhang,
+    so the result prefix is exactly the concatenated compressed bytes.
+    """
+    B = stacked.shape[0]
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(lens.astype(jnp.int32))[:-1]]
+    )
+    buf = jnp.zeros(B * cap + cap, dtype=jnp.uint8)
+
+    def body(i, buf):
+        return jax.lax.dynamic_update_slice(buf, stacked[i], (offsets[i],))
+
+    return jax.lax.fori_loop(0, B, body, buf)
+
+
+def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024):
+    """Returns ``fn(blocks u8[B,N], lens i32[B]) -> (outs: list[np.uint8],
+    out_lens[B], checks[B])`` where ``checks`` are adler32 (zlib) or crc32
+    (gzip) of each block — the contract BlockParallelEncoder expects."""
+    depth, nice, lazy = _LEVEL[max(1, min(9, level))]
+
+    def encode_one(block, n):
+        # Fixed-Huffman worst case is 9 bits/byte (+ tiny block overhead),
+        # so N + N//4 capacity is safe and trims the D2H transfer.
+        cap = block.shape[0] + block.shape[0] // 4 + 64
+        return encode_block_fixed(block, n, depth=depth, nice=nice, lazy=lazy, cap=cap)
+
+    def fn(blocks: np.ndarray, lens: np.ndarray):
+        B, N = blocks.shape
+        cap = N + N // 4 + 64
+        blocks_dev = jax.device_put(blocks)  # one bulk upload
+        outs, metas, crc_futs = [], [], []
+        for i in range(B):
+            o, m = encode_one(blocks_dev[i], jnp.int32(int(lens[i])))
+            outs.append(o)
+            metas.append(m)
+            if mode is ZlibMode.Gzip:
+                crc_futs.append(crc32_lane_registers(blocks_dev[i], lanes=crc_lanes))
+        meta_host = np.asarray(jnp.stack(metas))  # sync 1 (small)
+        out_lens = meta_host[:, 0].astype(np.int32)
+        adlers = meta_host[:, 1].astype(np.uint32)
+        # Device-side compaction, then ONE exact-size D2H.
+        packed = _compact(jnp.stack(outs), jnp.asarray(out_lens), cap=cap)
+        total = int(out_lens.sum())
+        flat = np.asarray(packed[:total])  # sync 2 (exact bytes)
+        offsets = np.concatenate([[0], np.cumsum(out_lens)])
+        out = [flat[offsets[i] : offsets[i + 1]] for i in range(B)]
+        if mode is ZlibMode.Gzip:
+            regs = np.asarray(jnp.stack(crc_futs))  # sync 3 (small)
+            lane_bytes = N // crc_lanes
+            checks = np.empty(B, dtype=np.uint32)
+            for i in range(B):
+                reg = checksum.fold_lane_registers(regs[i], lane_bytes)
+                reg = checksum.crc_unshift(reg, N - int(lens[i]))
+                checks[i] = reg ^ 0xFFFFFFFF
+            return out, out_lens, checks
+        return out, out_lens, adlers
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def warm(block_size: int = 1 << 18, level: int = 6) -> None:
+    """Pre-compile the block kernels for a given shape."""
+    depth, nice, lazy = _LEVEL[max(1, min(9, level))]
+    data = jnp.zeros(block_size, dtype=jnp.uint8)
+    cap = block_size + block_size // 4 + 64
+    encode_block_fixed(
+        data, jnp.int32(block_size), depth=depth, nice=nice, lazy=lazy, cap=cap
+    )[0].block_until_ready()

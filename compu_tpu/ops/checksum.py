@@ -221,6 +221,63 @@ def crc32(data, value: int = 0) -> int:
     return (r ^ 0xFFFFFFFF) & 0xFFFFFFFF
 
 
+def _gf2_inverse(mat: np.ndarray) -> np.ndarray:
+    """Invert a 32x32 GF(2) matrix (rows as uint64 bitmasks) by Gaussian
+    elimination. Shift operators are bijections, so this always succeeds."""
+    a = mat.astype(np.uint64).copy()
+    inv = np.array([1 << i for i in range(32)], dtype=np.uint64)
+    for col in range(32):
+        bit = np.uint64(1) << np.uint64(col)
+        pivot = None
+        for row in range(col, 32):
+            if a[row] & bit:
+                pivot = row
+                break
+        if pivot is None:  # pragma: no cover - operators are invertible
+            raise ValueError("singular GF(2) matrix")
+        a[[col, pivot]] = a[[pivot, col]]
+        inv[[col, pivot]] = inv[[pivot, col]]
+        for row in range(32):
+            if row != col and (a[row] & bit):
+                a[row] ^= a[col]
+                inv[row] ^= inv[col]
+    return inv
+
+
+_UNSHIFT_CACHE: dict[int, np.ndarray] = {}
+
+
+def crc_unshift(crc: int, nbytes: int) -> int:
+    """Undo ``crc_shift``: recover the register as it was before ``nbytes``
+    trailing ZERO bytes were appended. Lets device kernels run on padded
+    fixed-shape blocks and the host strip the pad algebraically."""
+    if nbytes == 0:
+        return crc
+    # The GF(2) apply uses column-major semantics (mat[i] is the image of
+    # basis vector i), so invert the operator matrix transposed-consistently
+    # by inverting in the same representation.
+    op = _UNSHIFT_CACHE.get(nbytes)
+    if op is None:
+        op = _gf2_inverse(zero_shift_operator(nbytes))
+        _UNSHIFT_CACHE[nbytes] = op
+    return _gf2_apply(op, crc)
+
+
+def fold_lane_registers(lane_regs: np.ndarray, lane_bytes: int, init_reg: int = 0xFFFFFFFF) -> int:
+    """Merge per-lane raw CRC registers (init 0, contiguous equal lanes)
+    into the stream register, folding in ``init_reg`` at the front.
+    This is the host half of the device lane-parallel crc32 kernel."""
+    vals = lane_regs.astype(np.uint32).copy()
+    op = zero_shift_operator(lane_bytes)
+    while len(vals) > 1:
+        if len(vals) % 2:  # pragma: no cover - lane counts are powers of two
+            raise ValueError("lane count must be a power of two")
+        vals = _gf2_apply_vec(op, vals[0::2]) ^ vals[1::2]
+        op = _gf2_matmul(op, op)
+    total = lane_bytes * len(lane_regs)
+    return int(crc_shift(init_reg, total) ^ int(vals[0]))
+
+
 def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
     """zlib ``crc32_combine``: crc32 of A||B from the two finished crcs.
 

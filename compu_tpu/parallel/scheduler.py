@@ -1,0 +1,163 @@
+"""Block-parallel stream scheduler (pigz-style).
+
+Splits a stream into fixed-size independent blocks, encodes them on device
+(batched or mesh-sharded), and assembles ONE standard zlib/gzip stream:
+
+* every block is a self-contained run of deflate blocks terminated by an
+  empty stored block (Z_SYNC_FLUSH), so block outputs are byte-aligned and
+  concatenate freely;
+* matches never cross block boundaries (the device kernel enforces this),
+  so any block can be decoded knowing only its bytes;
+* per-block checksums computed on device are merged on the host with the
+  O(log) combine algebra (ops/checksum.py) — no serial re-scan;
+* the scheduler records a block index (compressed offset, raw length) that
+  makes *our own* streams embarrassingly parallel to decode, while any
+  stock inflate still accepts them sequentially.
+
+This subsystem plays the role the generic vtable Interface plays in the
+reference (SURVEY §2c): it assigns blocks to devices, tracks per-block
+status, and reassembles ordered output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from ..ops import checksum
+from ..formats.deflate.options import ZlibMode
+
+
+@dataclasses.dataclass
+class BlockIndex:
+    """Side index of a block-parallel stream (in stream order)."""
+
+    raw_lengths: list[int]
+    compressed_offsets: list[int]  # offset of each block's first byte
+    compressed_lengths: list[int]
+
+    def to_bytes(self) -> bytes:
+        out = bytearray(struct.pack("<I", len(self.raw_lengths)))
+        for r, o, c in zip(self.raw_lengths, self.compressed_offsets, self.compressed_lengths):
+            out.extend(struct.pack("<QQQ", r, o, c))
+        return bytes(out)
+
+    @staticmethod
+    def from_bytes(blob: bytes) -> "BlockIndex":
+        (n,) = struct.unpack_from("<I", blob, 0)
+        idx = BlockIndex([], [], [])
+        for i in range(n):
+            r, o, c = struct.unpack_from("<QQQ", blob, 4 + 24 * i)
+            idx.raw_lengths.append(r)
+            idx.compressed_offsets.append(o)
+            idx.compressed_lengths.append(c)
+        return idx
+
+
+def _gzip_header() -> bytes:
+    return struct.pack("<BBBBIBB", 0x1F, 0x8B, 8, 0, 0, 0, 255)
+
+
+def _zlib_header() -> bytes:
+    cmf, flg = 0x78, 0x80
+    fcheck = (31 - ((cmf << 8 | flg) % 31)) % 31
+    return bytes([cmf, flg | fcheck])
+
+
+class BlockParallelEncoder:
+    """Encode a whole buffer as one standard stream of independent blocks.
+
+    ``block_fn(blocks_u8[B, N], lens_i32[B]) -> (out_u8[B, cap],
+    out_lens[B], adlers_or_crcs[B])`` is the device step — batched
+    single-chip (kernels/deflate_jax.py) or mesh-sharded
+    (parallel/mesh.py). The host does framing, ordering, and checksum
+    combining only.
+    """
+
+    def __init__(self, block_fn, block_size: int = 1 << 20, mode: ZlibMode = ZlibMode.Gzip):
+        if mode is ZlibMode.Auto:
+            raise ValueError("Auto is decode-only")
+        self.block_fn = block_fn
+        self.block_size = block_size
+        self.mode = mode
+
+    def encode(self, data: bytes) -> tuple[bytes, BlockIndex]:
+        n = len(data)
+        bs = self.block_size
+        nblocks = max(1, -(-n // bs))
+        # Pad the block matrix to fixed shapes for the device step.
+        blocks = np.zeros((nblocks, bs), dtype=np.uint8)
+        lens = np.zeros(nblocks, dtype=np.int32)
+        for i in range(nblocks):
+            chunk = data[i * bs : (i + 1) * bs]
+            blocks[i, : len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
+            lens[i] = len(chunk)
+
+        out, out_lens, adlers = self.block_fn(blocks, lens)
+        out_lens = np.asarray(out_lens)
+        adlers = np.asarray(adlers)
+
+        header = (
+            _gzip_header()
+            if self.mode is ZlibMode.Gzip
+            else (_zlib_header() if self.mode is ZlibMode.Zlib else b"")
+        )
+        stream = bytearray(header)
+        index = BlockIndex([], [], [])
+        for i in range(nblocks):
+            index.raw_lengths.append(int(lens[i]))
+            index.compressed_offsets.append(len(stream))
+            index.compressed_lengths.append(int(out_lens[i]))
+            stream.extend(np.asarray(out[i])[: int(out_lens[i])].tobytes())
+        # Closing: empty FINAL stored block terminates the deflate stream.
+        stream.extend(bytes([0x01, 0x00, 0x00, 0xFF, 0xFF]))
+
+        if self.mode is ZlibMode.Zlib:
+            total = 1
+            for i in range(nblocks):
+                total = checksum.adler32_combine(total, int(adlers[i]), int(lens[i]))
+            stream.extend(struct.pack(">I", total))
+        elif self.mode is ZlibMode.Gzip:
+            # Device step returns per-block crc32 for gzip mode.
+            total = 0
+            for i in range(nblocks):
+                total = checksum.crc32_combine(total, int(adlers[i]), int(lens[i]))
+            stream.extend(struct.pack("<II", total, n & 0xFFFFFFFF))
+        return bytes(stream), index
+
+
+class BlockParallelDecoder:
+    """Decode a block-parallel stream using its side index.
+
+    Each block's compressed bytes are independent (window reset + byte
+    alignment), so blocks decode concurrently — on host threads today, on
+    the device inflate kernel as it lands. Ordered reassembly is a simple
+    concatenation because the index is in stream order.
+    """
+
+    def __init__(self, block_decode_fn=None):
+        self._decode_block = block_decode_fn or _host_inflate_block
+
+    def decode(self, stream: bytes, index: BlockIndex) -> bytes:
+        pieces = []
+        for off, clen, rlen in zip(
+            index.compressed_offsets, index.compressed_lengths, index.raw_lengths
+        ):
+            pieces.append(self._decode_block(stream[off : off + clen], rlen))
+        return b"".join(pieces)
+
+
+def _host_inflate_block(blob: bytes, raw_len: int) -> bytes:
+    """Reference block decoder: raw deflate run ending in a sync flush."""
+    from ..formats.deflate.inflate import Inflate
+    from ..formats.deflate.options import ZlibMode as _M
+
+    inf = Inflate(_M.Deflate)
+    # Terminate the non-final run so the state machine reaches Finished.
+    inf.pump(bytearray(blob) + bytearray([0x01, 0x00, 0x00, 0xFF, 0xFF]), 0)
+    out = bytes(inf.sink)
+    if len(out) != raw_len:
+        raise ValueError(f"block decoded {len(out)} bytes, expected {raw_len}")
+    return out
