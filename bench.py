@@ -64,7 +64,7 @@ def main() -> None:
     corpus = build_corpus()
     n = len(corpus)
 
-    fn = make_block_encode_fn(ZlibMode.Gzip, level=6)
+    fn = make_block_encode_fn(ZlibMode.Gzip, level=4)
     enc = BlockParallelEncoder(fn, block_size=BLOCK, mode=ZlibMode.Gzip)
 
     # Warm: compile every graph at the exact benchmark shapes (per-block

@@ -1,0 +1,60 @@
+"""zstd option surface, mirroring the reference's option structs
+(encoder: src/encoder/zstd.rs:35-133; decoder: src/decoder/zstd.rs:22-74).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class ZstdStrategy(enum.Enum):
+    """Compression strategy ladder (reference: src/encoder/zstd.rs:35-56).
+    Currently informs the match-finder effort mapping; the named ladder is
+    preserved for API parity."""
+
+    Default = 0
+    Fast = 1
+    DFast = 2
+    Greedy = 3
+    Lazy = 4
+    Lazy2 = 5
+    BtLazy2 = 6
+    BtOpt = 7
+    BtUltra = 8
+    BtUltra2 = 9
+
+
+@dataclasses.dataclass(frozen=True)
+class ZstdOptions:
+    """Encoder options (reference: ZstdOptions, src/encoder/zstd.rs:62-133).
+
+    ``level`` follows zstd's 1..22 ladder (negative/0 clamp to 1);
+    ``window_log`` bounds match distances (10..31);
+    ``checksum`` controls the xxhash64 content checksum (the reference
+    relies on libzstd's default off; ours defaults on — flip for byte
+    parity scenarios).
+    """
+
+    level: int = 3
+    strategy: ZstdStrategy = ZstdStrategy.Default
+    window_log: int = 17
+    checksum: bool = True
+
+    def __post_init__(self) -> None:
+        if not 1 <= self.level <= 22:
+            raise ValueError("zstd level must be in 1..22")
+        if not 10 <= self.window_log <= 31:
+            raise ValueError("window_log must be in 10..31")
+
+
+@dataclasses.dataclass(frozen=True)
+class ZstdDecodeOptions:
+    """Decoder options (reference: src/decoder/zstd.rs:22-74 — the
+    window_log cap is the only knob)."""
+
+    window_log_max: int = 31
+
+    def __post_init__(self) -> None:
+        if not 10 <= self.window_log_max <= 31:
+            raise ValueError("window_log_max must be in 10..31")

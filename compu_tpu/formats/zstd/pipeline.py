@@ -1,0 +1,66 @@
+"""zstd format pipeline: streaming backend glue.
+
+Plays the role of the reference's zstd adapter pair
+(src/encoder/zstd.rs:140-210, src/decoder/zstd.rs:81-164): maps the
+generic Encoder/Decoder contract onto the frame codec.
+"""
+
+from __future__ import annotations
+
+from ..base import DecoderBackend, EncoderBackend
+from .decode import ERRORS, ZstdFrameDecoder
+from .encode import MAX_BLOCK, ZstdStreamEncoder
+from .options import ZstdDecodeOptions, ZstdOptions
+
+
+class ZstdEncoder(EncoderBackend):
+    name = "zstd"
+    block_size = MAX_BLOCK  # zstd's maximum block content size
+
+    def __init__(self, options: ZstdOptions | None = None) -> None:
+        self.options = options or ZstdOptions()
+        super().__init__()
+        self._stream = ZstdStreamEncoder(
+            level=self.options.level,
+            checksum=self.options.checksum,
+            window_log=self.options.window_log,
+        )
+
+    def _header(self) -> bytes:
+        return self._stream.header()
+
+    def _compress(self, data: bytes, final: bool) -> bytes:
+        return self._stream.compress_chunk(data, final)
+
+    def _flush_mark(self) -> bytes:
+        # Block boundaries are already byte-aligned resume points in zstd;
+        # nothing extra to emit.
+        return b""
+
+    def _trailer(self) -> bytes:
+        return self._stream.trailer()
+
+    def _do_reset(self) -> None:
+        self._stream.reset()
+
+
+class ZstdDecoder(DecoderBackend):
+    name = "zstd"
+    ERRORS = ERRORS
+
+    def __init__(self, options: ZstdDecodeOptions | None = None) -> None:
+        self.options = options or ZstdDecodeOptions()
+        super().__init__()
+        self._frame = ZstdFrameDecoder(window_log_max=self.options.window_log_max)
+
+    def _pump(self) -> None:
+        consumed, finished = self._frame.pump(self._staged, self._staged_pos)
+        if self._frame.sink:
+            self._pending.extend(self._frame.sink)
+            self._frame.sink = bytearray()
+        self._staged_pos = consumed
+        if finished:
+            self._finished = True
+
+    def _do_reset(self) -> None:
+        self._frame = ZstdFrameDecoder(window_log_max=self.options.window_log_max)

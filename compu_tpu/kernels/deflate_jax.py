@@ -137,7 +137,11 @@ def encode_block_fixed(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
 
     # --- chain walk with match measurement -------------------------------
     u32 = _u32_view(data, consts.MAX_MATCH + 8)
-    limit = jnp.minimum(jnp.int32(consts.MAX_MATCH), n - pos_all)
+    # Measuring beyond ``nice`` wastes gather rounds: matches are accepted
+    # at nice length anyway, so cap the measured length (trades a little
+    # ratio on long runs for a bounded match loop).
+    max_measure = min(consts.MAX_MATCH, max(nice, 16))
+    limit = jnp.minimum(jnp.int32(max_measure), n - pos_all)
     best_len = jnp.zeros(N, dtype=jnp.int32)
     best_dist = jnp.zeros(N, dtype=jnp.int32)
     cand = prev

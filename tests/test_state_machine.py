@@ -63,6 +63,7 @@ BACKENDS = [
     ("deflate-raw", _zlib_enc(ZlibMode.Deflate), _zlib_dec(ZlibMode.Deflate), Detection.Unknown),
     ("zlib-auto", _zlib_enc(ZlibMode.Zlib), _zlib_dec(ZlibMode.Auto), Detection.Zlib),
     ("gzip-auto", _zlib_enc(ZlibMode.Gzip), _zlib_dec(ZlibMode.Auto), Detection.Gzip),
+    ("zstd", encoder.Interface.zstd, decoder.Interface.zstd, Detection.Zstd),
 ]
 
 
