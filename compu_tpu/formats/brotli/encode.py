@@ -1,0 +1,383 @@
+"""Brotli encoder (RFC 7932).
+
+v1 strategy per meta-block: LZ tokens from the shared data-parallel matcher
+(formats/deflate/deflate_encode.tokenize), single block type per category,
+no context modeling (NTREES=1 makes the context map trivial), explicit
+distances (NPOSTFIX=0, NDIRECT=0), optimal per-meta-block prefix codes
+written in simple or complex form. Uncompressed meta-blocks cover
+incompressible chunks; a final empty meta-block terminates the stream, so
+data meta-blocks never carry ISLAST.
+
+Output validated against libbrotli (decode oracle) and our own decoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...ops.huffman import canonical_codes, length_limited_lengths
+from ..base import CodecFailure
+from ..deflate.deflate_encode import tokenize
+from ..deflate.options import ZlibStrategy
+from . import consts as C
+
+ERR_ENC = 450
+
+
+class BitSink:
+    """LSB-first bit accumulator with whole-byte drain (cross-chunk carry)."""
+
+    __slots__ = ("acc", "nbits", "out")
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def push(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def align(self) -> None:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+
+    def drain(self) -> bytes:
+        data = bytes(self.out)
+        self.out = bytearray()
+        return data
+
+
+# -- prefix-code serialization ---------------------------------------------
+_CL_WRITE = {0: (0, 2), 4: (1, 2), 3: (2, 2), 2: (3, 3), 1: (7, 4), 5: (15, 4)}
+
+
+class PrefixWriter:
+    """One canonical prefix code + its §3.4/§3.5 serialized description."""
+
+    def __init__(self, freqs: np.ndarray, alphabet_size: int) -> None:
+        freqs = np.asarray(freqs, dtype=np.int64)
+        used = np.nonzero(freqs)[0]
+        if len(used) == 0:
+            used = np.asarray([0])
+            freqs = freqs.copy()
+            freqs[0] = 1
+        self.alphabet_size = alphabet_size
+        self.used = used
+        if len(used) == 1:
+            self.lengths = np.zeros(alphabet_size, dtype=np.int64)
+            self.codes = np.zeros(alphabet_size, dtype=np.int64)
+            self.single = int(used[0])
+            return
+        self.single = None
+        self.lengths = length_limited_lengths(freqs, 15).astype(np.int64)
+        codes = canonical_codes(self.lengths)
+        # Reverse within length for LSB-first emission.
+        self.codes = np.zeros(alphabet_size, dtype=np.int64)
+        for s in np.nonzero(self.lengths)[0]:
+            l = int(self.lengths[s])
+            c = int(codes[s])
+            rev = 0
+            for _ in range(l):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            self.codes[s] = rev
+
+    def write_description(self, sink: BitSink) -> None:
+        used = self.used
+        alpha_bits = max(1, (self.alphabet_size - 1).bit_length())
+        if self.single is not None:
+            sink.push(1, 2)  # HSKIP=1: simple
+            sink.push(0, 2)  # NSYM-1 = 0
+            sink.push(self.single, alpha_bits)
+            return
+        if len(used) <= 4:
+            lens_used = self.lengths[used]
+            simple_ok = False
+            order = list(used)
+            if len(used) == 2 and set(lens_used) == {1}:
+                simple_ok = True
+            elif len(used) == 3 and sorted(lens_used) == [1, 2, 2]:
+                simple_ok = True
+                order = sorted(used, key=lambda s: (self.lengths[s], s))
+            elif len(used) == 4 and sorted(lens_used) in ([2, 2, 2, 2], [1, 2, 3, 3]):
+                simple_ok = True
+                order = sorted(used, key=lambda s: (self.lengths[s], s))
+            if simple_ok:
+                sink.push(1, 2)
+                sink.push(len(used) - 1, 2)
+                for s in order:
+                    sink.push(int(s), alpha_bits)
+                if len(used) == 4:
+                    sink.push(0 if sorted(lens_used) == [2, 2, 2, 2] else 1, 1)
+                return
+        self._write_complex(sink)
+
+    def _write_complex(self, sink: BitSink) -> None:
+        # RLE the symbol code-length sequence with brotli's 16/17 codes
+        # (no chained-repeat accumulation; plain runs are always valid).
+        lengths = self.lengths
+        top = int(np.nonzero(lengths)[0][-1]) + 1
+        items: list[tuple[int, int, int]] = []  # (clsym, extra_val, extra_bits)
+
+        def emit_repeat(sym: int, extra_bits: int, count: int, literal):
+            """Chained repeat encoding: consecutive equal repeat symbols
+            accumulate in the decoder as new = (old-2)*2^bits + 3 + extra,
+            so the count is emitted as base-2^bits digits, most significant
+            first (libbrotli's WriteHuffmanTreeRepetitions construction)."""
+            if count < 3:
+                items.extend([literal] * count)
+                return
+            r = count - 3
+            digits = []
+            mask = (1 << extra_bits) - 1
+            while True:
+                digits.append(r & mask)
+                r >>= extra_bits
+                if r == 0:
+                    break
+                r -= 1
+            for d in reversed(digits):
+                items.append((sym, d, extra_bits))
+
+        prev_nonzero = 8
+        i = 0
+        while i < top:
+            v = int(lengths[i])
+            run = 1
+            while i + run < top and int(lengths[i + run]) == v:
+                run += 1
+            consumed = run
+            if v == 0:
+                emit_repeat(17, 3, run, (0, 0, 0))
+            else:
+                if v != prev_nonzero:
+                    items.append((v, 0, 0))
+                    run -= 1
+                emit_repeat(16, 2, run, (v, 0, 0))
+                prev_nonzero = v
+            i += consumed
+        # Code-length-code lengths: fixed mapping via _CL_WRITE (values 0-5).
+        cl_freq = np.zeros(18, dtype=np.int64)
+        for sym, _, _ in items:
+            cl_freq[sym] += 1
+        cl_lengths = length_limited_lengths(cl_freq, 5).astype(np.int64)
+        nz = np.nonzero(cl_lengths)[0]
+        if len(nz) == 1:
+            # Degenerate: a single code-length symbol decodes with 0 bits;
+            # ensure the per-symbol loop terminates via space accounting.
+            cl_lengths = cl_lengths.copy()
+        cl_codes = canonical_codes(cl_lengths)
+        cl_rev = np.zeros(18, dtype=np.int64)
+        for s in nz:
+            l = int(cl_lengths[s])
+            c = int(cl_codes[s])
+            rev = 0
+            for _ in range(l):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            cl_rev[s] = rev
+        sink.push(0, 2)  # HSKIP = 0
+        # Emit code-length-code lengths exactly as far as the decoder reads:
+        # it stops once the code completes (space accounting reaches zero).
+        space = 32
+        for idx in range(18):
+            value = int(cl_lengths[C.CLCODE_ORDER[idx]])
+            code, nbits = _CL_WRITE[value]
+            sink.push(code, nbits)
+            if value:
+                space -= 32 >> value
+                if space <= 0:
+                    break
+        for sym, extra_val, extra_bits in items:
+            if len(nz) > 1:
+                sink.push(int(cl_rev[sym]), int(cl_lengths[sym]))
+            # single-code-length alphabet: 0 bits per symbol
+            if extra_bits:
+                sink.push(extra_val, extra_bits)
+
+    def push_symbol(self, sink: BitSink, sym: int) -> None:
+        if self.single is not None:
+            return  # 0-bit code
+        sink.push(int(self.codes[sym]), int(self.lengths[sym]))
+
+
+# -- command construction ---------------------------------------------------
+# (insert_hi, copy_hi) pairs per range index (units of 8 codes).
+_RANGE_PAIRS = {(C.INSERT_RANGE_LUT[i] >> 3, C.COPY_RANGE_LUT[i] >> 3): i
+                for i in range(9)}
+
+
+def _length_code(bases, extras, value):
+    idx = int(np.searchsorted(bases, value, side="right")) - 1
+    while idx + 1 < len(bases) and bases[idx] + (1 << extras[idx]) <= value:
+        idx += 1
+    return idx
+
+
+def _command_symbol(insert_len: int, copy_len: int):
+    ic = _length_code(C.INSERT_BASE, C.INSERT_EXTRA, insert_len)
+    cc = _length_code(C.COPY_BASE, C.COPY_EXTRA, copy_len)
+    pair = (ic >> 3, cc >> 3)
+    try:
+        range_idx = _RANGE_PAIRS[pair]
+    except KeyError:
+        raise CodecFailure(ERR_ENC, "unencodable insert/copy pair") from None
+    cmd = ((range_idx + 2) << 6) | ((ic & 7) << 3) | (cc & 7)
+    return cmd, ic, cc
+
+
+def _distance_symbol(distance: int):
+    """Explicit distance (NPOSTFIX=0, NDIRECT=0): dsym, extra value/bits."""
+    val = distance - 1
+    nbits = 1
+    while True:
+        lo = (2 << nbits) - 4
+        hi = (3 << nbits) - 4
+        nxt = (4 << nbits) - 4
+        if lo <= val < hi:
+            return 16 + (nbits - 1) * 2, val - lo, nbits
+        if hi <= val < nxt:
+            return 16 + (nbits - 1) * 2 + 1, val - hi, nbits
+        nbits += 1
+        if nbits > 24:
+            raise CodecFailure(ERR_ENC, "distance too large")
+
+
+class BrotliStreamEncoder:
+    """Meta-block streaming encoder with cross-chunk bit carry."""
+
+    def __init__(self, quality: int = 9, window_bits: int = 22) -> None:
+        self.quality = quality
+        self.window_bits = window_bits
+        self.sink = BitSink()
+        self.header_done = False
+
+    def reset(self) -> None:
+        self.sink = BitSink()
+        self.header_done = False
+
+    def _write_stream_header(self) -> None:
+        w = self.window_bits
+        if w == 16:
+            self.sink.push(0, 1)
+        elif 18 <= w <= 24:
+            self.sink.push(1, 1)
+            self.sink.push(w - 17, 3)
+        elif w == 17:
+            self.sink.push(1, 1)
+            self.sink.push(0, 3)
+            self.sink.push(0, 3)
+        else:  # 10..15
+            self.sink.push(1, 1)
+            self.sink.push(0, 3)
+            self.sink.push(w - 8, 3)
+        self.header_done = True
+
+    def compress_chunk(self, data: bytes, final: bool) -> bytes:
+        if not self.header_done:
+            self._write_stream_header()
+        if data:
+            self._write_data_meta_block(data)
+        if final:
+            # Final empty meta-block: ISLAST=1, ISLASTEMPTY=1, pad to byte.
+            self.sink.push(1, 1)
+            self.sink.push(1, 1)
+            self.sink.align()
+        return self.sink.drain()
+
+    # ------------------------------------------------------------------
+    def _write_data_meta_block(self, data: bytes) -> None:
+        sink = self.sink
+        mlen = len(data)
+        assert mlen <= 1 << 24
+        level = max(1, min(9, self.quality))
+        arr = np.frombuffer(data, dtype=np.uint8)
+        tok_pos, tok_len, tok_dist = tokenize(arr, level, ZlibStrategy.Default)
+
+        # Build command list: (insert literals, copy_len, distance|None).
+        commands = []
+        lit_bytes = bytearray()
+        pending_start = 0
+        pending = 0
+        for p, l, d in zip(tok_pos, tok_len, tok_dist):
+            if l == 0:
+                if pending == 0:
+                    pending_start = p
+                pending += 1
+            else:
+                commands.append((pending_start, pending, int(l), int(d)))
+                lit_bytes.extend(data[pending_start : pending_start + pending])
+                pending = 0
+                pending_start = p + l
+        if pending:
+            commands.append((pending_start, pending, 0, None))
+            lit_bytes.extend(data[pending_start : pending_start + pending])
+
+        # Histograms.
+        cmd_syms = []
+        dist_syms = []
+        for _, ins, cl, d in commands:
+            if d is None:
+                cmd, _, _ = _command_symbol(ins, 2)  # copy ignored at MLEN
+                cmd_syms.append(cmd)
+            else:
+                cmd, _, _ = _command_symbol(ins, cl)
+                cmd_syms.append(cmd)
+                dist_syms.append(_distance_symbol(d)[0])
+        lit_freq = np.bincount(np.frombuffer(bytes(lit_bytes), np.uint8), minlength=256)
+        cmd_freq = np.bincount(np.asarray(cmd_syms, dtype=np.int64), minlength=C.NUM_COMMAND_SYMBOLS)
+        dist_freq = np.bincount(
+            np.asarray(dist_syms if dist_syms else [0], dtype=np.int64), minlength=64
+        )
+
+        lit_code = PrefixWriter(lit_freq, 256)
+        cmd_code = PrefixWriter(cmd_freq, C.NUM_COMMAND_SYMBOLS)
+        dist_code = PrefixWriter(dist_freq, 64)
+
+        # Compressed meta-block header.
+        sink.push(0, 1)  # ISLAST = 0 (final empty block terminates)
+        if mlen <= 1 << 16:
+            sink.push(0, 2)  # MNIBBLES = 4
+            sink.push(mlen - 1, 16)
+        elif mlen <= 1 << 20:
+            sink.push(1, 2)  # MNIBBLES = 5
+            sink.push(mlen - 1, 20)
+        else:
+            sink.push(2, 2)  # MNIBBLES = 6
+            sink.push(mlen - 1, 24)
+        sink.push(0, 1)  # ISUNCOMPRESSED = 0
+        sink.push(0, 1)  # NBLTYPESL = 1
+        sink.push(0, 1)  # NBLTYPESI = 1
+        sink.push(0, 1)  # NBLTYPESD = 1
+        sink.push(0, 2)  # NPOSTFIX = 0
+        sink.push(0, 4)  # NDIRECT = 0
+        sink.push(0, 2)  # context mode LSB6 (irrelevant with 1 tree)
+        sink.push(0, 1)  # NTREESL = 1
+        sink.push(0, 1)  # NTREESD = 1
+        lit_code.write_description(sink)
+        cmd_code.write_description(sink)
+        dist_code.write_description(sink)
+
+        for start, ins, cl, d in commands:
+            if d is None:
+                cmd, ic, cc = _command_symbol(ins, 2)
+            else:
+                cmd, ic, cc = _command_symbol(ins, cl)
+            cmd_code.push_symbol(sink, cmd)
+            sink.push(ins - C.INSERT_BASE[ic], C.INSERT_EXTRA[ic])
+            sink.push((cl if d is not None else 2) - C.COPY_BASE[cc], C.COPY_EXTRA[cc])
+            for b in data[start : start + ins]:
+                lit_code.push_symbol(sink, b)
+            if d is not None:
+                dsym, extra, nbits = _distance_symbol(d)
+                dist_code.push_symbol(sink, dsym)
+                sink.push(extra, nbits)

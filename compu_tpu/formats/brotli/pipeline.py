@@ -1,0 +1,66 @@
+"""Brotli format pipeline: streaming backend glue.
+
+Plays the role of the reference's brotli adapter pairs
+(src/encoder/brotli_c.rs, src/encoder/brotli.rs and decoder twins). Like
+those backends, this one buffers internally and re-creates its state on
+reset (the reference's brotli reset recreates the instance and re-applies
+the stored options, src/encoder/brotli_c.rs:88-98).
+"""
+
+from __future__ import annotations
+
+from ..base import DecoderBackend, EncoderBackend
+from .decode import ERRORS, BrotliDecoderState
+from .encode import BrotliStreamEncoder
+from .options import BrotliOptions
+
+
+class BrotliEncoder(EncoderBackend):
+    name = "brotli"
+    block_size = 1 << 20  # one meta-block per pipeline block
+
+    def __init__(self, options: BrotliOptions | None = None) -> None:
+        self.options = options or BrotliOptions()
+        super().__init__()
+        self._stream = BrotliStreamEncoder(
+            quality=self.options.quality, window_bits=self.options.window_bits
+        )
+
+    def _header(self) -> bytes:
+        return b""  # stream header rides in the first compress_chunk
+
+    def _compress(self, data: bytes, final: bool) -> bytes:
+        return self._stream.compress_chunk(data, final)
+
+    def _flush_mark(self) -> bytes:
+        # Meta-block boundaries already provide resume points; brotli has no
+        # dedicated sync marker. (Bit remainder stays buffered.)
+        return b""
+
+    def _trailer(self) -> bytes:
+        return b""  # the final empty meta-block is emitted by compress_chunk
+
+    def _do_reset(self) -> None:
+        self._stream.reset()
+
+
+class BrotliDecoder(DecoderBackend):
+    name = "brotli"
+    ERRORS = ERRORS
+
+    def __init__(self, options=None) -> None:
+        del options  # decode side has no options (parity with reference)
+        super().__init__()
+        self._state = BrotliDecoderState()
+
+    def _pump(self) -> None:
+        consumed, finished = self._state.pump(self._staged, self._staged_pos)
+        if self._state.sink:
+            self._pending.extend(self._state.sink)
+            self._state.sink = bytearray()
+        self._staged_pos = consumed
+        if finished:
+            self._finished = True
+
+    def _do_reset(self) -> None:
+        self._state = BrotliDecoderState()

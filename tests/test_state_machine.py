@@ -64,6 +64,7 @@ BACKENDS = [
     ("zlib-auto", _zlib_enc(ZlibMode.Zlib), _zlib_dec(ZlibMode.Auto), Detection.Zlib),
     ("gzip-auto", _zlib_enc(ZlibMode.Gzip), _zlib_dec(ZlibMode.Auto), Detection.Gzip),
     ("zstd", encoder.Interface.zstd, decoder.Interface.zstd, Detection.Zstd),
+    ("brotli", encoder.Interface.brotli, decoder.Interface.brotli, Detection.Unknown),
 ]
 
 
