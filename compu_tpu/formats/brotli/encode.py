@@ -304,6 +304,10 @@ class BrotliStreamEncoder:
         tok_pos, tok_len, tok_dist = tokenize(arr, level, ZlibStrategy.Default)
 
         # Build command list: (insert literals, copy_len, distance|None).
+        # Adjacent same-distance matches merge into one long copy (brotli
+        # copy lengths far exceed the matcher's 258 cap) — bounded by the
+        # largest copy code (base 2118 + 24 extra bits).
+        max_copy = C.COPY_BASE[-1] + (1 << C.COPY_EXTRA[-1]) - 1
         commands = []
         lit_bytes = bytearray()
         pending_start = 0
@@ -314,9 +318,18 @@ class BrotliStreamEncoder:
                     pending_start = p
                 pending += 1
             else:
-                commands.append((pending_start, pending, int(l), int(d)))
-                lit_bytes.extend(data[pending_start : pending_start + pending])
-                pending = 0
+                if (
+                    commands
+                    and pending == 0
+                    and commands[-1][3] == int(d)
+                    and commands[-1][2] + int(l) <= max_copy
+                ):
+                    prev = commands[-1]
+                    commands[-1] = (prev[0], prev[1], prev[2] + int(l), prev[3])
+                else:
+                    commands.append((pending_start, pending, int(l), int(d)))
+                    lit_bytes.extend(data[pending_start : pending_start + pending])
+                    pending = 0
                 pending_start = p + l
         if pending:
             commands.append((pending_start, pending, 0, None))

@@ -31,7 +31,9 @@ MAX_BLOCK = 128 * 1024
 
 def _sequences_from_tokens(data, tok_pos, tok_len, tok_dist):
     """Collapse a token cover into zstd sequences (ll, offset, ml) plus the
-    literal byte stream."""
+    literal byte stream. Adjacent same-distance matches merge into one long
+    sequence (the shared matcher caps matches at DEFLATE's 258; zstd match
+    lengths are unbounded, so merging recovers long runs)."""
     lits = bytearray()
     seqs = []
     pending_lit = 0
@@ -42,9 +44,17 @@ def _sequences_from_tokens(data, tok_pos, tok_len, tok_dist):
                 run_start = p
             pending_lit += 1
         else:
-            lits.extend(data[run_start : run_start + pending_lit])
-            seqs.append((pending_lit, int(d), int(l)))
-            pending_lit = 0
+            if (
+                seqs
+                and pending_lit == 0
+                and seqs[-1][1] == int(d)
+                and seqs[-1][2] + int(l) <= 131074  # ML code 52 ceiling
+            ):
+                seqs[-1] = (seqs[-1][0], seqs[-1][1], seqs[-1][2] + int(l))
+            else:
+                lits.extend(data[run_start : run_start + pending_lit])
+                seqs.append((pending_lit, int(d), int(l)))
+                pending_lit = 0
             run_start = p + l
     if pending_lit:
         lits.extend(data[run_start : run_start + pending_lit])

@@ -34,9 +34,19 @@ _BIT_IDX = np.arange(32, dtype=np.uint64)
 def adler32(data, value: int = 1) -> int:
     """adler32 of ``data`` continuing from ``value`` (zlib.adler32 equivalent).
 
-    Fully data-parallel: vector sum + weighted vector sum per bounded chunk
-    (bounds keep the int64 accumulator from overflowing).
-    """
+    Prefers the native host runtime; the numpy lane-parallel path below is
+    the fallback and the device-algorithm oracle."""
+    from ..runtime import native
+
+    r = native.adler32(data, value)
+    if r is not None:
+        return r
+    return adler32_lanes(data, value)
+
+
+def adler32_lanes(data, value: int = 1) -> int:
+    """Data-parallel adler32: vector sum + weighted vector sum per bounded
+    chunk (bounds keep accumulators exact)."""
     a = value & 0xFFFF
     b = (value >> 16) & 0xFFFF
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
@@ -190,12 +200,21 @@ def _gf2_apply_vec(mat: np.ndarray, vec: np.ndarray) -> np.ndarray:
 
 def crc32(data, value: int = 0) -> int:
     """crc32 with gzip conventions, continuing from ``value`` — drop-in
-    equivalent of ``zlib.crc32``.
+    equivalent of ``zlib.crc32``. Prefers the native host runtime; the
+    lane-parallel path below is the fallback and the device oracle."""
+    from ..runtime import native
 
-    Lane-parallel: L contiguous lanes advance together (slice-by-8); lane
-    registers merge with a log2(L)-level GF(2) tree reduction (each level
-    shifts the left half past the right half's zero-length and XORs).
-    """
+    r = native.crc32(data, value)
+    if r is not None:
+        return r
+    return crc32_lanes(data, value)
+
+
+def crc32_lanes(data, value: int = 0) -> int:
+    """Lane-parallel crc32: L contiguous lanes advance together
+    (slice-by-8); lane registers merge with a log2(L)-level GF(2) tree
+    reduction (each level shifts the left half past the right half's
+    zero-length and XORs)."""
     data = np.frombuffer(bytes(data), dtype=np.uint8)
     n = len(data)
     reg = (value ^ 0xFFFFFFFF) & 0xFFFFFFFF

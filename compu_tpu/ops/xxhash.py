@@ -32,6 +32,15 @@ def _merge_round(acc: int, val: int) -> int:
 
 
 def xxh64(data: bytes, seed: int = 0) -> int:
+    from ..runtime import native
+
+    r = native.xxh64(data, seed)
+    if r is not None:
+        return r
+    return xxh64_py(data, seed)
+
+
+def xxh64_py(data: bytes, seed: int = 0) -> int:
     n = len(data)
     if n >= 32:
         v1 = (seed + P1 + P2) & MASK

@@ -82,23 +82,36 @@ class BlockParallelEncoder:
         self.block_fn = block_fn
         self.block_size = block_size
         self.mode = mode
+        from ..utils.metrics import Metrics
+
+        self.metrics = Metrics()
 
     def encode(self, data: bytes) -> tuple[bytes, BlockIndex]:
+        from ..utils.metrics import trace_span
+
         n = len(data)
         bs = self.block_size
         nblocks = max(1, -(-n // bs))
         # Pad the block matrix to fixed shapes for the device step.
-        blocks = np.zeros((nblocks, bs), dtype=np.uint8)
-        lens = np.zeros(nblocks, dtype=np.int32)
-        for i in range(nblocks):
-            chunk = data[i * bs : (i + 1) * bs]
-            blocks[i, : len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
-            lens[i] = len(chunk)
+        with self.metrics.stage("stage_blocks"):
+            blocks = np.zeros((nblocks, bs), dtype=np.uint8)
+            lens = np.zeros(nblocks, dtype=np.int32)
+            for i in range(nblocks):
+                chunk = data[i * bs : (i + 1) * bs]
+                blocks[i, : len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
+                lens[i] = len(chunk)
 
-        out, out_lens, adlers = self.block_fn(blocks, lens)
+        with self.metrics.stage("device_encode"), trace_span("compu/device_encode"):
+            out, out_lens, adlers = self.block_fn(blocks, lens)
         out_lens = np.asarray(out_lens)
         adlers = np.asarray(adlers)
+        for i in range(nblocks):
+            self.metrics.record_block(int(lens[i]), int(out_lens[i]))
 
+        with self.metrics.stage("assemble"):
+            return self._assemble(data, out, out_lens, adlers, lens, nblocks, n)
+
+    def _assemble(self, data, out, out_lens, adlers, lens, nblocks, n):
         header = (
             _gzip_header()
             if self.mode is ZlibMode.Gzip

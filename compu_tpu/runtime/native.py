@@ -1,0 +1,77 @@
+"""Loader for the native host runtime (csrc/compu_runtime.cpp).
+
+Compiles the shared library on first use (g++, cached beside the source)
+and exposes ctypes wrappers; every entry point has a pure-Python/numpy
+fallback elsewhere in the package, so absence of a toolchain only costs
+host-side speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import threading
+
+_SRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc" / "compu_runtime.cpp"
+_SO = _SRC.with_name("libcompu_runtime.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(str(_SO))
+            lib.compu_crc32.restype = ctypes.c_uint32
+            lib.compu_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+            lib.compu_adler32.restype = ctypes.c_uint32
+            lib.compu_adler32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+            lib.compu_xxh64.restype = ctypes.c_uint64
+            lib.compu_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64]
+            lib.compu_malloc.restype = ctypes.c_void_p
+            lib.compu_malloc.argtypes = [ctypes.c_size_t]
+            lib.compu_free.argtypes = [ctypes.c_void_p]
+            lib.compu_alloc_size.restype = ctypes.c_size_t
+            lib.compu_alloc_size.argtypes = [ctypes.c_void_p]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def crc32(data, value: int = 0) -> int | None:
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.compu_crc32(bytes(data), len(data), value & 0xFFFFFFFF))
+
+
+def adler32(data, value: int = 1) -> int | None:
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.compu_adler32(bytes(data), len(data), value & 0xFFFFFFFF))
+
+
+def xxh64(data, seed: int = 0) -> int | None:
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.compu_xxh64(bytes(data), len(data), seed))
