@@ -301,7 +301,8 @@ class BrotliStreamEncoder:
         assert mlen <= 1 << 24
         level = max(1, min(9, self.quality))
         arr = np.frombuffer(data, dtype=np.uint8)
-        tok_pos, tok_len, tok_dist = tokenize(arr, level, ZlibStrategy.Default)
+        max_dist = min((1 << self.window_bits) - 16, len(data))
+        tok_pos, tok_len, tok_dist = tokenize(arr, level, ZlibStrategy.Default, max_dist)
 
         # Build command list: (insert literals, copy_len, distance|None).
         # Adjacent same-distance matches merge into one long copy (brotli

@@ -77,9 +77,12 @@ def _match_lengths(u64: np.ndarray, pos: np.ndarray, cand: np.ndarray, limit: np
     return np.minimum(lens, limit)
 
 
-def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy):
+def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
+                 max_dist: int = consts.WINDOW_SIZE):
     """Best (length, distance) per position. Returns (lens, dists) int64
-    arrays; positions without a usable match have len 0."""
+    arrays; positions without a usable match have len 0. ``max_dist``
+    widens the window for formats whose distances exceed DEFLATE's 32 KiB
+    (zstd window_log, brotli window_bits)."""
     n = len(data)
     lens = np.zeros(n, dtype=np.int64)
     dists = np.zeros(n, dtype=np.int64)
@@ -120,7 +123,7 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy):
     best_len = np.zeros(m, dtype=np.int64)
     best_dist = np.zeros(m, dtype=np.int64)
     for _ in range(depth):
-        valid = (cand >= 0) & (pos_all - cand <= consts.WINDOW_SIZE)
+        valid = (cand >= 0) & (pos_all - cand <= max_dist)
         idx = np.nonzero(valid & (best_len < nice))[0]
         if idx.size == 0:
             break
@@ -164,11 +167,14 @@ def greedy_cover(nxt: np.ndarray) -> np.ndarray:
     return on_path[:n].nonzero()[0]
 
 
-def tokenize(data: np.ndarray, level: int, strategy: ZlibStrategy):
+def tokenize(data: np.ndarray, level: int, strategy: ZlibStrategy,
+             max_dist: int = consts.WINDOW_SIZE):
     """Full parse: returns (token_pos, tok_len, tok_dist) where tok_len==0
-    marks a literal token."""
+    marks a literal token. Level 9 runs the cost-model optimal parse."""
     n = len(data)
-    lens, dists = find_matches(data, level, strategy)
+    lens, dists = find_matches(data, level, strategy, max_dist)
+    if level >= 9 and strategy in (ZlibStrategy.Default, ZlibStrategy.Filtered) and n > 16:
+        return _optimal_parse(data, lens, dists)
     if LEVEL_LAZY[level] and n > 1:
         # Lazy heuristic: if the next position has a strictly longer match,
         # demote this one to a literal.
@@ -181,6 +187,118 @@ def tokenize(data: np.ndarray, level: int, strategy: ZlibStrategy):
     tl = lens[tok_pos] * take[tok_pos]
     td = dists[tok_pos] * take[tok_pos]
     return tok_pos, tl, td
+
+
+def _greedy_tokens(data, lens, dists):
+    n = len(data)
+    l2 = lens.copy()
+    demote = np.zeros(n, dtype=bool)
+    demote[:-1] = l2[1:] > l2[:-1]
+    l2 = np.where(demote, 0, l2)
+    take = l2 >= consts.MIN_MATCH
+    nxt = np.arange(n) + np.where(take, l2, 1)
+    tok_pos = greedy_cover(nxt)
+    return tok_pos, l2[tok_pos] * take[tok_pos], dists[tok_pos] * take[tok_pos]
+
+
+def _cost_tables(data, tok_pos, tok_len, tok_dist):
+    """Per-symbol bit costs (huffman lengths) estimated from a parse."""
+    is_match = tok_len > 0
+    lit_syms = np.where(
+        is_match, consts.LENGTH_CODE[np.minimum(tok_len, consts.MAX_MATCH)], data[tok_pos]
+    ).astype(np.int64)
+    lit_freq = np.bincount(lit_syms, minlength=286)
+    lit_freq[256] += 1
+    md = tok_dist[is_match]
+    dsyms = consts.DIST_CODE[np.minimum(md, consts.WINDOW_SIZE)]
+    dist_freq = np.bincount(dsyms[md <= consts.WINDOW_SIZE], minlength=30)
+    lit_len = length_limited_lengths(lit_freq, 15).astype(np.float64)
+    dist_len = length_limited_lengths(np.maximum(dist_freq, 0), 15).astype(np.float64)
+    lit_len[lit_len == 0] = 14.0  # unused symbols: discouraging but usable
+    dist_len[dist_len == 0] = 14.0
+    return lit_len, dist_len
+
+
+# Candidate sublengths considered by the DP at each match position: the
+# full length plus length-code base boundaries (cost steps happen there).
+_LEN_CANDIDATES = consts.LENGTH_BASE.tolist()
+
+
+def _optimal_parse(data, lens, dists):
+    """Two-round cost-model DP (Zopfli-style squeeze, one candidate match
+    per position + code-base sublengths). Backward recurrence in Python —
+    host-side "max effort" mode (level 9)."""
+    n = len(data)
+    tok = _greedy_tokens(data, lens, dists)
+    lens_l = lens.tolist()
+    dists_l = dists.tolist()
+    data_l = data.tolist()
+    lcode = consts.LENGTH_CODE
+    lextra = consts.LENGTH_EXTRA
+    dcode_t = consts.DIST_CODE
+    dextra_t = consts.DIST_EXTRA
+    dists_np = np.asarray(dists, dtype=np.int64)
+    for _ in range(2):
+        lit_len, dist_len = _cost_tables(data, *tok)
+        # Precompute cost of emitting length l (code+extra) for l in 3..258.
+        lcost = (
+            lit_len[lcode[consts.MIN_MATCH :]]
+            + lextra[lcode[consts.MIN_MATCH :] - 257]
+        ).tolist()  # index l-3
+        litcost = lit_len[:256].tolist()
+        # Per-position distance cost; distances past DEFLATE's table (wide
+        # windows for zstd/brotli callers) get a generic log-size estimate.
+        in_tbl = dists_np <= consts.WINDOW_SIZE
+        dc_arr = np.where(
+            in_tbl,
+            dist_len[dcode_t[np.minimum(dists_np, consts.WINDOW_SIZE)]]
+            + dextra_t[dcode_t[np.minimum(dists_np, consts.WINDOW_SIZE)]],
+            5.0 + np.log2(np.maximum(dists_np, 2)),
+        )
+        dc_list = dc_arr.tolist()
+        cost = [0.0] * (n + 1)
+        choice = [0] * n
+        for i in range(n - 1, -1, -1):
+            best = litcost[data_l[i]] + cost[i + 1]
+            ch = 0
+            L = lens_l[i]
+            if L >= 3:
+                dc = dc_list[i]
+                c = lcost[L - 3] + dc + cost[i + L]
+                if c < best:
+                    best = c
+                    ch = L
+                for lb in _LEN_CANDIDATES:
+                    if lb >= L:
+                        break
+                    c = lcost[lb - 3] + dc + cost[i + lb]
+                    if c < best:
+                        best = c
+                        ch = lb
+            cost[i] = best
+            choice[i] = ch
+        # Extract the chosen cover.
+        pos_list = []
+        tl_list = []
+        td_list = []
+        i = 0
+        while i < n:
+            ch = choice[i]
+            pos_list.append(i)
+            if ch:
+                tl_list.append(ch)
+                td_list.append(dists_l[i])
+                i += ch
+            else:
+                tl_list.append(0)
+                td_list.append(0)
+                i += 1
+        tok = (
+            np.asarray(pos_list, dtype=np.int64),
+            np.asarray(tl_list, dtype=np.int64),
+            np.asarray(td_list, dtype=np.int64),
+        )
+    return tok
 
 
 # ---------------------------------------------------------------------------

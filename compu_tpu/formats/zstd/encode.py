@@ -181,7 +181,40 @@ def _sequences_section(seqs) -> bytes:
         return bytes(out)
 
     ll_codes = [T.ll_code(ll) for ll, _, _ in seqs]
-    of_values = [off + 3 for _, off, _ in seqs]  # no repeat-offset use in v1
+    # Repeat-offset resolution: mirror the decoder's 3-slot history
+    # (decode.py::_execute_sequences) so recent distances cost ~1 bit.
+    of_values = []
+    rep = [1, 4, 8]
+    for ll, off, _ in seqs:
+        if ll != 0:
+            if off == rep[0]:
+                val = 1
+            elif off == rep[1]:
+                val = 2
+            elif off == rep[2]:
+                val = 3
+            else:
+                val = off + 3
+        else:
+            if off == rep[1]:
+                val = 1
+            elif off == rep[2]:
+                val = 2
+            elif off == rep[0] - 1 and off > 0:
+                val = 3
+            else:
+                val = off + 3
+        of_values.append(val)
+        # History update (identical to the decoder).
+        if val > 3:
+            rep = [off, rep[0], rep[1]]
+        else:
+            idx = val - 1 + (1 if ll == 0 else 0)
+            if idx == 1:
+                rep = [off, rep[0], rep[2]]
+            elif idx >= 2:
+                rep = [off, rep[0], rep[1]]
+            # idx == 0: unchanged
     of_codes = [_offset_code(v) for v in of_values]
     ml_codes = [T.ml_code(ml) for _, _, ml in seqs]
 
@@ -231,7 +264,7 @@ def _sequences_section(seqs) -> bytes:
     return bytes(out)
 
 
-def compress_block(data: bytes, level: int) -> bytes:
+def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK) -> bytes:
     """One zstd block body (compressed type), or raw/RLE when better.
     Returns the full block including its 3-byte header."""
     n = len(data)
@@ -246,7 +279,7 @@ def compress_block(data: bytes, level: int) -> bytes:
 
     arr = np.frombuffer(data, dtype=np.uint8)
     strategy = ZlibStrategy.Default
-    tok_pos, tok_len, tok_dist = tokenize(arr, min(level, 9), strategy)
+    tok_pos, tok_len, tok_dist = tokenize(arr, min(level, 9), strategy, max_dist)
     lits, seqs = _sequences_from_tokens(arr, tok_pos, tok_len, tok_dist)
     try:
         body = _literals_section(lits) + _sequences_section(seqs)
@@ -289,7 +322,9 @@ class ZstdStreamEncoder:
             # Empty final block (raw, size 0).
             out.extend(struct.pack("<I", 1 | (0 << 1) | 0)[:3])
             return bytes(out)
-        blob = compress_block(data, self.level)
+        blob = compress_block(
+            data, self.level, max_dist=min((1 << self.window_log) - 1, MAX_BLOCK)
+        )
         if final:
             blob = bytes([blob[0] | 1]) + blob[1:]
         out.extend(blob)

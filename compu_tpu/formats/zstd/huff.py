@@ -257,7 +257,11 @@ def normalize_counts(freqs: np.ndarray, total: int, max_log: int):
     used = np.nonzero(freqs)[0]
     if len(used) < 2:
         return None, 0
-    table_log = min(max_log, max(5, int(len(used)).bit_length()))
+    # Accuracy heuristic (libzstd FSE_optimalTableLog shape): enough
+    # resolution for the sample size, at least enough cells for the
+    # alphabet, within the format cap.
+    table_log = max(5, int(total - 1).bit_length() - 2, int(len(used)).bit_length())
+    table_log = min(max_log, table_log)
     size = 1 << table_log
     if len(used) > size:
         return None, 0
