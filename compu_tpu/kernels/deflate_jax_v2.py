@@ -73,10 +73,12 @@ def _ctz_bytes(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x == 0, jnp.int32(4), cnt)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "cap"))
+@functools.partial(jax.jit, static_argnames=("depth", "cap", "parse_iters"))
 def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
-                          cap: int = 0):
-    """v2 block encode. Returns (out_u8[cap], meta_i32[2]=[len, adler])."""
+                          cap: int = 0, parse_iters: int = 0):
+    """v2 block encode. Returns (out_u8[cap], meta_i32[2]=[len, adler]).
+    ``parse_iters`` overrides the parse-doubling iteration count (timing
+    experiments only; fewer than log2(SEG) yields an invalid parse)."""
     N = data.shape[0]
     if cap == 0:
         cap = N + N // 4 + 64
@@ -156,7 +158,7 @@ def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     cols = jnp.arange(SEG, dtype=jnp.int32)
     jmat = (nl[:, :, None] == cols[None, None, :]).astype(jnp.bfloat16)
     reach = jnp.zeros((S, 1, SEG), dtype=jnp.float32).at[:, 0, 0].set(1.0)
-    iters = int(np.ceil(np.log2(SEG)))
+    iters = parse_iters if parse_iters else int(np.ceil(np.log2(SEG)))
     for _ in range(iters):
         hop = jnp.einsum(
             "sij,sjk->sik", reach.astype(jnp.bfloat16), jmat,
