@@ -255,9 +255,17 @@ def _distance_symbol(distance: int):
 class BrotliStreamEncoder:
     """Meta-block streaming encoder with cross-chunk bit carry."""
 
-    def __init__(self, quality: int = 9, window_bits: int = 22) -> None:
+    def __init__(self, quality: int = 9, window_bits: int = 22,
+                 device_lz: bool = False) -> None:
         self.quality = quality
         self.window_bits = window_bits
+        self.tokenizer = None
+        if device_lz:
+            from ..device_lz import DeviceTokenizer
+
+            self.tokenizer = DeviceTokenizer(
+                1 << 20, min((1 << window_bits) - 16, 1 << 20)
+            )
         self.sink = BitSink()
         self.header_done = False
 
@@ -301,8 +309,13 @@ class BrotliStreamEncoder:
         assert mlen <= 1 << 24
         level = max(1, min(9, self.quality))
         arr = np.frombuffer(data, dtype=np.uint8)
-        max_dist = min((1 << self.window_bits) - 16, len(data))
-        tok_pos, tok_len, tok_dist = tokenize(arr, level, ZlibStrategy.Default, max_dist)
+        if self.tokenizer is not None:
+            tok_pos, tok_len, tok_dist = self.tokenizer(data)
+        else:
+            max_dist = min((1 << self.window_bits) - 16, len(data))
+            tok_pos, tok_len, tok_dist = tokenize(
+                arr, level, ZlibStrategy.Default, max_dist
+            )
 
         # Build command list: (insert literals, copy_len, distance|None).
         # Adjacent same-distance matches merge into one long copy (brotli

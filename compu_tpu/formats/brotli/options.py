@@ -24,6 +24,9 @@ class BrotliOptions:
     quality: int = 9
     mode: BrotliMode = BrotliMode.Generic
     window_bits: int = 22
+    #: Run the LZ match+parse stage on the device (shared v2 kernel),
+    #: keeping the prefix-code entropy stage on the host.
+    device_lz: bool = False
 
     def __post_init__(self) -> None:
         if not 1 <= self.quality <= 11:

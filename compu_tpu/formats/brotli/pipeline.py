@@ -23,7 +23,9 @@ class BrotliEncoder(EncoderBackend):
         self.options = options or BrotliOptions()
         super().__init__()
         self._stream = BrotliStreamEncoder(
-            quality=self.options.quality, window_bits=self.options.window_bits
+            quality=self.options.quality,
+            window_bits=self.options.window_bits,
+            device_lz=getattr(self.options, "device_lz", False),
         )
 
     def _header(self) -> bytes:

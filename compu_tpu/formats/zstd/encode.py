@@ -264,7 +264,8 @@ def _sequences_section(seqs) -> bytes:
     return bytes(out)
 
 
-def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK) -> bytes:
+def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
+                   tokenizer=None) -> bytes:
     """One zstd block body (compressed type), or raw/RLE when better.
     Returns the full block including its 3-byte header."""
     n = len(data)
@@ -278,8 +279,11 @@ def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK) -> bytes:
         return header(1, n) + data[:1]
 
     arr = np.frombuffer(data, dtype=np.uint8)
-    strategy = ZlibStrategy.Default
-    tok_pos, tok_len, tok_dist = tokenize(arr, min(level, 9), strategy, max_dist)
+    if tokenizer is not None:
+        tok_pos, tok_len, tok_dist = tokenizer(data)
+    else:
+        strategy = ZlibStrategy.Default
+        tok_pos, tok_len, tok_dist = tokenize(arr, min(level, 9), strategy, max_dist)
     lits, seqs = _sequences_from_tokens(arr, tok_pos, tok_len, tok_dist)
     try:
         body = _literals_section(lits) + _sequences_section(seqs)
@@ -294,10 +298,17 @@ class ZstdStreamEncoder:
     """Frame-level streaming encoder (hooks for the pipeline backend)."""
 
     def __init__(self, level: int = 3, checksum: bool = True,
-                 window_log: int = 17) -> None:
+                 window_log: int = 17, device_lz: bool = False) -> None:
         self.level = level
         self.checksum = checksum
         self.window_log = window_log
+        self.tokenizer = None
+        if device_lz:
+            from ..device_lz import DeviceTokenizer
+
+            self.tokenizer = DeviceTokenizer(
+                MAX_BLOCK, min((1 << window_log) - 1, MAX_BLOCK)
+            )
         self.reset()
 
     def reset(self) -> None:
@@ -323,7 +334,9 @@ class ZstdStreamEncoder:
             out.extend(struct.pack("<I", 1 | (0 << 1) | 0)[:3])
             return bytes(out)
         blob = compress_block(
-            data, self.level, max_dist=min((1 << self.window_log) - 1, MAX_BLOCK)
+            data, self.level,
+            max_dist=min((1 << self.window_log) - 1, MAX_BLOCK),
+            tokenizer=self.tokenizer,
         )
         if final:
             blob = bytes([blob[0] | 1]) + blob[1:]

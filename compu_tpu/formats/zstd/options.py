@@ -40,6 +40,9 @@ class ZstdOptions:
     strategy: ZstdStrategy = ZstdStrategy.Default
     window_log: int = 17
     checksum: bool = True
+    #: Run the LZ match+parse stage on the device (shared v2 kernel),
+    #: keeping FSE/Huffman entropy coding on the host.
+    device_lz: bool = False
 
     def __post_init__(self) -> None:
         if not 1 <= self.level <= 22:

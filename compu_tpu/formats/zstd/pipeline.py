@@ -24,6 +24,7 @@ class ZstdEncoder(EncoderBackend):
             level=self.options.level,
             checksum=self.options.checksum,
             window_log=self.options.window_log,
+            device_lz=getattr(self.options, "device_lz", False),
         )
 
     def _header(self) -> bytes:

@@ -73,15 +73,14 @@ def _ctz_bytes(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x == 0, jnp.int32(4), cnt)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "cap", "parse_iters"))
-def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
-                          cap: int = 0, parse_iters: int = 0):
-    """v2 block encode. Returns (out_u8[cap], meta_i32[2]=[len, adler]).
-    ``parse_iters`` overrides the parse-doubling iteration count (timing
-    experiments only; fewer than log2(SEG) yields an invalid parse)."""
+def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
+                    max_dist: int = consts.WINDOW_SIZE, max_len: int = consts.MAX_MATCH,
+                    parse_iters: int = 0):
+    """Shared device LZ stage: sort-carried matching + run extension + MXU
+    segment parse. Returns (is_tok bool[N], best_len i32[N], best_dist
+    i32[N]) — the token cover all three formats consume (DEFLATE directly
+    on device; zstd/brotli through their host entropy stages)."""
     N = data.shape[0]
-    if cap == 0:
-        cap = N + N // 4 + 64
     pos_all = jnp.arange(N, dtype=jnp.int32)
     in_range = pos_all < n
 
@@ -105,7 +104,7 @@ def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
         same = hs == jnp.roll(hs, d)
         same = same & (pos_all >= d)
         dist = ps - jnp.roll(ps, d)
-        ok = same & (dist > 0) & (dist <= consts.WINDOW_SIZE)
+        ok = same & (dist > 0) & (dist <= max_dist)
         l = _ctz_bytes(s0 ^ jnp.roll(s0, d))
         l4 = _ctz_bytes(s1 ^ jnp.roll(s1, d))
         l8 = _ctz_bytes(s2 ^ jnp.roll(s2, d))
@@ -138,7 +137,7 @@ def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     best_dist = jnp.where(use_run, 1, best_dist)
 
     # --- heuristics ----------------------------------------------------
-    limit = jnp.minimum(n - pos_all, jnp.int32(consts.MAX_MATCH))
+    limit = jnp.minimum(n - pos_all, jnp.int32(max_len))
     # clip to segment end (parse is segment-local)
     seg_rem = SEG - (pos_all & (SEG - 1))
     best_len = jnp.minimum(jnp.minimum(best_len, limit), seg_rem)
@@ -169,6 +168,32 @@ def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
             "sij,sjk->sik", jmat, jmat, preferred_element_type=jnp.bfloat16
         )
     is_tok = (reach[:, 0, :] > 0.5).reshape(N) & in_range
+    return is_tok, best_len, best_dist
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "max_dist"))
+def device_tokens(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
+                  max_dist: int = consts.WINDOW_SIZE):
+    """Jitted export of the shared LZ stage for the zstd/brotli hybrid
+    pipelines (device match+parse, host entropy coding)."""
+    return match_and_parse(data, n, depth=depth, max_dist=max_dist)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "cap", "parse_iters"))
+def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
+                          cap: int = 0, parse_iters: int = 0):
+    """v2 block encode. Returns (out_u8[cap], meta_i32[2]=[len, adler]).
+    ``parse_iters`` overrides the parse-doubling iteration count (timing
+    experiments only; fewer than log2(SEG) yields an invalid parse)."""
+    N = data.shape[0]
+    if cap == 0:
+        cap = N + N // 4 + 64
+    pos_all = jnp.arange(N, dtype=jnp.int32)
+    in_range = pos_all < n
+    is_tok, best_len, best_dist = match_and_parse(
+        data, n, depth=depth, parse_iters=parse_iters
+    )
+    take = best_len >= consts.MIN_MATCH
 
     # --- 5. fixed-Huffman fields (one-hot MXU lookups) ------------------
     lit_len_t = jnp.asarray(_FIXED_LIT_LEN)
