@@ -252,6 +252,97 @@ def _distance_symbol(distance: int):
             raise CodecFailure(ERR_ENC, "distance too large")
 
 
+def _push_count_code(sink: BitSink, v: int) -> None:
+    """NBLTYPES/NTREES variable code (inverse of decode._read_count_code)."""
+    if v == 1:
+        sink.push(0, 1)
+        return
+    k = (v - 1).bit_length() - 1
+    sink.push(1, 1)
+    sink.push(k, 3)
+    if k:
+        sink.push(v - 1 - (1 << k), k)
+
+
+def _push_context_map(sink: BitSink, cmap: np.ndarray, ntrees: int) -> None:
+    """Context map: no RLE, direct tree indices, no inverse-MTF."""
+    sink.push(0, 1)  # RLE unused
+    freqs = np.bincount(cmap, minlength=ntrees)
+    code = PrefixWriter(freqs, ntrees)
+    code.write_description(sink)
+    for v in cmap:
+        code.push_symbol(sink, int(v))
+    sink.push(0, 1)  # IMTF = 0
+
+
+def _entropy_bits(h: np.ndarray) -> float:
+    total = h.sum()
+    if total == 0:
+        return 0.0
+    nz = h[h > 0].astype(np.float64)
+    return float((nz * (np.log2(total) - np.log2(nz))).sum())
+
+
+def _context_model(arr: np.ndarray, lit_pos: np.ndarray, lit_vals: np.ndarray,
+                   enabled: bool, tail: bytes = b"", max_trees: int = 16):
+    """Cluster the 64 UTF8-mode literal contexts into <= max_trees trees.
+
+    ``tail`` holds the last bytes of the previous meta-block: the decoder's
+    context bytes p1/p2 carry across meta-block boundaries.
+    Returns (cmap[64], [PrefixWriter...], cid_of_pos). Falls back to a
+    single unmodeled tree for small or non-gaining inputs.
+    """
+    lit_freq = np.bincount(lit_vals, minlength=256) if len(lit_vals) else np.zeros(256, np.int64)
+    single = (np.zeros(64, np.int64), [PrefixWriter(lit_freq, 256)], lambda k: 0)
+    if not enabled or len(lit_pos) < 2048:
+        return single
+    lut0 = C.CONTEXT_TABLE[1024:1280].astype(np.int64)
+    lut1 = C.CONTEXT_TABLE[1280:1536].astype(np.int64)
+    t = np.frombuffer((b"\0\0" + tail)[-2:], dtype=np.uint8).astype(np.int64)
+    ext = np.concatenate([t, arr.astype(np.int64)])
+    p1 = ext[lit_pos + 1]
+    p2 = ext[lit_pos]
+    cids = lut0[p1] | lut1[p2]
+    hists = np.zeros((64, 256), dtype=np.int64)
+    np.add.at(hists, (cids, lit_vals.astype(np.int64)), 1)
+
+    # Greedy histogram clustering (brotli HistogramCombine shape): merge
+    # the pair whose combined entropy cost increases least, while the
+    # increase stays below the saving of one fewer tree description.
+    clusters = [hists[c] for c in range(64)]
+    members = [[c] for c in range(64)]
+    costs = [_entropy_bits(h) for h in clusters]
+    TREE_DESC_BITS = 70 * 8  # rough per-tree description cost
+    while len(clusters) > 1:
+        best = None
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                merged = _entropy_bits(clusters[i] + clusters[j])
+                delta = merged - costs[i] - costs[j]
+                if best is None or delta < best[0]:
+                    best = (delta, i, j)
+        delta, i, j = best
+        if len(clusters) <= max_trees and delta > TREE_DESC_BITS:
+            break
+        clusters[i] = clusters[i] + clusters[j]
+        members[i] += members[j]
+        costs[i] = _entropy_bits(clusters[i])
+        del clusters[j], members[j], costs[j]
+    ntrees = len(clusters)
+    if ntrees < 2:
+        return single
+    cmap = np.zeros(64, dtype=np.int64)
+    for t, mem in enumerate(members):
+        for c in mem:
+            cmap[c] = t
+    codes = [PrefixWriter(h, 256) for h in clusters]
+
+    def cid_of_pos(k: int) -> int:
+        return int(lut0[ext[k + 1]] | lut1[ext[k]])
+
+    return cmap, codes, cid_of_pos
+
+
 class BrotliStreamEncoder:
     """Meta-block streaming encoder with cross-chunk bit carry."""
 
@@ -268,10 +359,12 @@ class BrotliStreamEncoder:
             )
         self.sink = BitSink()
         self.header_done = False
+        self._tail = b""  
 
     def reset(self) -> None:
         self.sink = BitSink()
         self.header_done = False
+        self._tail = b""  
 
     def _write_stream_header(self) -> None:
         w = self.window_bits
@@ -360,13 +453,26 @@ class BrotliStreamEncoder:
                 cmd, _, _ = _command_symbol(ins, cl)
                 cmd_syms.append(cmd)
                 dist_syms.append(_distance_symbol(d)[0])
-        lit_freq = np.bincount(np.frombuffer(bytes(lit_bytes), np.uint8), minlength=256)
         cmd_freq = np.bincount(np.asarray(cmd_syms, dtype=np.int64), minlength=C.NUM_COMMAND_SYMBOLS)
         dist_freq = np.bincount(
             np.asarray(dist_syms if dist_syms else [0], dtype=np.int64), minlength=64
         )
 
-        lit_code = PrefixWriter(lit_freq, 256)
+        # --- literal context modeling (UTF8 mode, quality >= 5) ----------
+        # Every literal's context id comes from the two preceding OUTPUT
+        # bytes, which at encode time are just the preceding input bytes.
+        lit_positions = []
+        for start, ins, _, _ in commands:
+            lit_positions.extend(range(start, start + ins))
+        lit_pos_arr = np.asarray(lit_positions, dtype=np.int64)
+        lit_vals = arr[lit_pos_arr] if len(lit_pos_arr) else np.zeros(0, np.int64)
+        cmap, lit_codes_list, cid_of_pos = _context_model(
+            arr, lit_pos_arr, lit_vals, enabled=self.quality >= 5,
+            tail=self._tail,
+        )
+        ntrees_l = len(lit_codes_list)
+        self._tail = data[-2:]
+
         cmd_code = PrefixWriter(cmd_freq, C.NUM_COMMAND_SYMBOLS)
         dist_code = PrefixWriter(dist_freq, 64)
 
@@ -387,10 +493,13 @@ class BrotliStreamEncoder:
         sink.push(0, 1)  # NBLTYPESD = 1
         sink.push(0, 2)  # NPOSTFIX = 0
         sink.push(0, 4)  # NDIRECT = 0
-        sink.push(0, 2)  # context mode LSB6 (irrelevant with 1 tree)
-        sink.push(0, 1)  # NTREESL = 1
+        sink.push(2 if ntrees_l > 1 else 0, 2)  # CMODE: UTF8 when modeled
+        _push_count_code(sink, ntrees_l)  # NTREESL
+        if ntrees_l > 1:
+            _push_context_map(sink, cmap, ntrees_l)
         sink.push(0, 1)  # NTREESD = 1
-        lit_code.write_description(sink)
+        for code in lit_codes_list:
+            code.write_description(sink)
         cmd_code.write_description(sink)
         dist_code.write_description(sink)
 
@@ -402,8 +511,13 @@ class BrotliStreamEncoder:
             cmd_code.push_symbol(sink, cmd)
             sink.push(ins - C.INSERT_BASE[ic], C.INSERT_EXTRA[ic])
             sink.push((cl if d is not None else 2) - C.COPY_BASE[cc], C.COPY_EXTRA[cc])
-            for b in data[start : start + ins]:
-                lit_code.push_symbol(sink, b)
+            if ntrees_l > 1:
+                for k in range(start, start + ins):
+                    tree = int(cmap[cid_of_pos(k)])
+                    lit_codes_list[tree].push_symbol(sink, data[k])
+            else:
+                for b in data[start : start + ins]:
+                    lit_codes_list[0].push_symbol(sink, b)
             if d is not None:
                 dsym, extra, nbits = _distance_symbol(d)
                 dist_code.push_symbol(sink, dsym)
