@@ -64,7 +64,7 @@ def main() -> None:
     corpus = build_corpus()
     n = len(corpus)
 
-    fn = make_block_encode_fn(ZlibMode.Gzip, level=4)
+    fn = make_block_encode_fn(ZlibMode.Gzip, level=4, segment_index=True)
     enc = BlockParallelEncoder(fn, block_size=BLOCK, mode=ZlibMode.Gzip)
 
     # Warm: compile every graph at the exact benchmark shapes (per-block
@@ -80,6 +80,17 @@ def main() -> None:
     decoded = zlib.decompress(stream, wbits=31)
     assert decoded == corpus, "roundtrip mismatch"
 
+    # Secondary: segment-parallel device inflate of our own stream.
+    from compu_tpu.parallel.scheduler import BlockParallelDecoder
+
+    dec = BlockParallelDecoder(device=True, block_size=BLOCK)
+    got = dec.decode(stream, index)  # compile + warm
+    assert got == corpus, "device decode mismatch"
+    t1 = time.time()
+    got = dec.decode(stream, index)
+    dt_dec = time.time() - t1
+    assert got == corpus
+
     gbps = n / dt / 1e9
     ratio = n / len(stream)
     result = {
@@ -90,8 +101,10 @@ def main() -> None:
     }
     print(json.dumps(result))
     print(
-        f"# {n/1e6:.0f} MB corpus, {dt*1000:.0f} ms, ratio {ratio:.2f}x, "
-        f"{len(index.raw_lengths)} blocks, device={jax.devices()[0].platform}",
+        f"# {n/1e6:.0f} MB corpus, encode {dt*1000:.0f} ms ({gbps*1000:.1f} MB/s), "
+        f"device decode {dt_dec*1000:.0f} ms ({n/dt_dec/1e6:.1f} MB/s, bit-exact), "
+        f"ratio {ratio:.2f}x, {len(index.raw_lengths)} blocks, "
+        f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 

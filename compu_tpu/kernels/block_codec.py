@@ -65,7 +65,7 @@ def _compact(stacked: jnp.ndarray, lens: jnp.ndarray, *, cap: int) -> jnp.ndarra
 
 
 def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
-                         kernel: str = "v2"):
+                         kernel: str = "v2", segment_index: bool = False):
     """Returns ``fn(blocks u8[B,N], lens i32[B]) -> (outs: list[np.uint8],
     out_lens[B], checks[B])`` where ``checks`` are adler32 (zlib) or crc32
     (gzip) of each block — the contract BlockParallelEncoder expects.
@@ -80,16 +80,24 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
         # so N + N//4 capacity is safe and trims the D2H transfer.
         cap = block.shape[0] + block.shape[0] // 4 + 64
         if kernel == "v2":
-            return encode_block_fixed_v2(block, n, depth=min(depth, 8), cap=cap)
+            return encode_block_fixed_v2(
+                block, n, depth=min(depth, 8), cap=cap, with_index=segment_index
+            )
+        assert not segment_index, "segment index requires the v2 kernel"
         return encode_block_fixed(block, n, depth=depth, nice=nice, lazy=lazy, cap=cap)
 
     def fn(blocks: np.ndarray, lens: np.ndarray):
         B, N = blocks.shape
         cap = N + N // 4 + 64
         blocks_dev = jax.device_put(blocks)  # one bulk upload
-        outs, metas, crc_futs = [], [], []
+        outs, metas, crc_futs, seg_futs = [], [], [], []
         for i in range(B):
-            o, m = encode_one(blocks_dev[i], jnp.int32(int(lens[i])))
+            r = encode_one(blocks_dev[i], jnp.int32(int(lens[i])))
+            if segment_index:
+                o, m, segs = r
+                seg_futs.append(segs)
+            else:
+                o, m = r
             outs.append(o)
             metas.append(m)
             if mode is ZlibMode.Gzip:
@@ -103,6 +111,7 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
         flat = np.asarray(packed[:total])  # sync 2 (exact bytes)
         offsets = np.concatenate([[0], np.cumsum(out_lens)])
         out = [flat[offsets[i] : offsets[i + 1]] for i in range(B)]
+        seg_index = np.asarray(jnp.stack(seg_futs)) if segment_index else None
         if mode is ZlibMode.Gzip:
             regs = np.asarray(jnp.stack(crc_futs))  # sync 3 (small)
             lane_bytes = N // crc_lanes
@@ -111,7 +120,11 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
                 reg = checksum.fold_lane_registers(regs[i], lane_bytes)
                 reg = checksum.crc_unshift(reg, N - int(lens[i]))
                 checks[i] = reg ^ 0xFFFFFFFF
+            if segment_index:
+                return out, out_lens, checks, seg_index
             return out, out_lens, checks
+        if segment_index:
+            return out, out_lens, adlers, seg_index
         return out, out_lens, adlers
 
     return fn

@@ -179,10 +179,14 @@ def device_tokens(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     return match_and_parse(data, n, depth=depth, max_dist=max_dist)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "cap", "parse_iters"))
+@functools.partial(jax.jit, static_argnames=("depth", "cap", "parse_iters", "with_index"))
 def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
-                          cap: int = 0, parse_iters: int = 0):
-    """v2 block encode. Returns (out_u8[cap], meta_i32[2]=[len, adler]).
+                          cap: int = 0, parse_iters: int = 0,
+                          with_index: bool = False):
+    """v2 block encode. Returns (out_u8[cap], meta_i32[2]=[len, adler]) and,
+    with ``with_index``, the per-segment bit offsets (every SEG-byte output
+    segment starts at a token boundary — the parse restarts per segment —
+    so the offsets make self-produced blocks segment-parallel to decode).
     ``parse_iters`` overrides the parse-doubling iteration count (timing
     experiments only; fewer than log2(SEG) yields an invalid parse)."""
     N = data.shape[0]
@@ -275,4 +279,7 @@ def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     b = (n % ADLER_MOD + w) % ADLER_MOD
     adler = (b.astype(jnp.uint32) << 16) | a.astype(jnp.uint32)
     meta = jnp.stack([out_len.astype(jnp.int32), adler.astype(jnp.int32)])
+    if with_index:
+        seg_bits = off_f0.reshape(-1, SEG)[:, 0]  # bit offset of each segment
+        return out_u8, meta, seg_bits
     return out_u8, meta

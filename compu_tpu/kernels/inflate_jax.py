@@ -1,0 +1,199 @@
+"""Indexed-parallel device inflate for self-produced streams.
+
+The v2 encoder's parse restarts at every SEG-byte output segment, so each
+segment's first token begins at a known bit offset (exported via
+``with_index``). Decode then runs one VPU lane per segment in lockstep:
+
+* phase 1 — token scan: every active lane decodes one token per step
+  (windows via 4 tiny byte-gathers; fixed-Huffman symbol attributes via
+  one-hot MXU matmuls against 512/32-entry attribute tables), recording
+  (start, kind, byte, len, dist) token rows;
+* expansion — per-position token ids by boundary scatter + row cumsum;
+  each position's copy source becomes a single absolute position
+  ``src = match_start - dist + (rel mod dist)`` (the mod folds overlapping
+  RLE copies, so chains shrink by at least one token per hop);
+* phase 2 — back-reference resolution by pointer doubling over the flat
+  block (log2(N) gathers reach any chain depth);
+* final byte gather from literal roots.
+
+This decodes OUR block-parallel streams (RFC-compliant fixed-Huffman
+deflate with the side index); foreign streams use the host compatibility
+decoder (formats/deflate/inflate.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..formats.deflate import consts
+from ..ops.huffman import build_decode_table
+from .deflate_jax_v2 import SEG
+
+
+def _lit_attr_table() -> np.ndarray:
+    """(512, 5) f32: [kind, byte, code_len, len_base, len_extra_bits] per
+    9-bit LSB window. kind: 0 literal, 1 match, 2 EOB/invalid."""
+    syms, lens = build_decode_table(consts.FIXED_LITLEN_LENGTHS, 9)
+    table = np.zeros((512, 5), dtype=np.float32)
+    for i in range(512):
+        sym = int(syms[i])
+        clen = int(lens[i])
+        if clen == 0 or sym >= 286:
+            table[i] = [2, 0, 1, 0, 0]
+        elif sym < 256:
+            table[i] = [0, sym, clen, 0, 0]
+        elif sym == 256:
+            table[i] = [2, 0, clen, 0, 0]
+        else:
+            code = sym - 257
+            table[i] = [
+                1, 0, clen,
+                float(consts.LENGTH_BASE[code]),
+                float(consts.LENGTH_EXTRA[code]),
+            ]
+    return table
+
+
+def _dist_attr_table() -> np.ndarray:
+    """(32, 3) f32: [dist_base, dist_extra_bits, valid]."""
+    syms, lens = build_decode_table(consts.FIXED_DIST_LENGTHS, 5)
+    table = np.zeros((32, 3), dtype=np.float32)
+    for i in range(32):
+        sym = int(syms[i])
+        if int(lens[i]) == 0 or sym >= 30:
+            table[i] = [1, 0, 0]
+        else:
+            table[i] = [float(consts.DIST_BASE[sym]), float(consts.DIST_EXTRA[sym]), 1]
+    return table
+
+
+_LIT_ATTRS = _lit_attr_table()
+_DIST_ATTRS = _dist_attr_table()
+
+
+def _onehot_lookup(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """(S,) indices -> (S, A) attribute rows. At lane counts (~2k) a plain
+    gather beats one-hot construction cost; swap to the one-hot MXU form
+    if lane counts grow to where gathers dominate."""
+    return table[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def decode_block_indexed(comp: jnp.ndarray, seg_bits: jnp.ndarray, n: jnp.ndarray,
+                         *, n_out: int):
+    """Decode one v2 block. ``comp`` is the compressed bytes padded with at
+    least 8 trailing zeros; ``seg_bits`` the per-segment bit offsets;
+    ``n`` the actual decoded length (<= n_out, the padded block size).
+
+    Returns (out u8[n_out], ok i32[1]) — ok == 1 iff every lane produced
+    exactly its target bytes with no invalid symbols.
+    """
+    N = n_out
+    S = N // SEG
+    lit_t = jnp.asarray(_LIT_ATTRS)
+    dist_t = jnp.asarray(_DIST_ATTRS)
+    lanes = jnp.arange(S, dtype=jnp.int32)
+    target = jnp.clip(n - lanes * SEG, 0, SEG)
+
+    def window(bit):
+        byte = bit >> 3
+        b0 = comp[byte].astype(jnp.uint32)
+        b1 = comp[byte + 1].astype(jnp.uint32)
+        b2 = comp[byte + 2].astype(jnp.uint32)
+        b3 = comp[byte + 3].astype(jnp.uint32)
+        w = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+        return w >> (bit & 7).astype(jnp.uint32)
+
+    def step(t, carry):
+        bit, outp, t_start, t_pack, t_len, t_dist, bad = carry
+        active = outp < target
+        w = window(bit)
+        idx9 = (w & 511).astype(jnp.int32)
+        a = _onehot_lookup(idx9, lit_t)
+        kind = a[:, 0].astype(jnp.int32)
+        byte = a[:, 1].astype(jnp.int32)
+        clen = a[:, 2].astype(jnp.int32)
+        lbase = a[:, 3].astype(jnp.int32)
+        lxb = a[:, 4].astype(jnp.int32)
+        lextra = ((w >> clen.astype(jnp.uint32)).astype(jnp.int32)) & ((1 << lxb) - 1)
+        mlen = lbase + lextra
+        used = clen + lxb
+        w2 = window(bit + used)
+        idx5 = (w2 & 31).astype(jnp.int32)
+        d = _onehot_lookup(idx5, dist_t)
+        dbase = d[:, 0].astype(jnp.int32)
+        dxb = d[:, 1].astype(jnp.int32)
+        dvalid = d[:, 2].astype(jnp.int32)
+        dist = dbase + (((w2 >> 5).astype(jnp.int32)) & ((1 << dxb) - 1))
+        dbits = 5 + dxb
+
+        is_lit = active & (kind == 0)
+        is_match = active & (kind == 1)
+        bad = bad | (active & (kind == 2)) | (is_match & (dvalid == 0))
+        advance = jnp.where(is_lit, clen, jnp.where(is_match, used + dbits, 0))
+        outlen = jnp.where(is_lit, 1, jnp.where(is_match, mlen, 0))
+
+        t_start = jax.lax.dynamic_update_slice(
+            t_start, jnp.where(active, outp, SEG)[:, None], (0, t)
+        )
+        pack = jnp.where(is_lit, byte, -1)  # literal byte, or -1 for match
+        t_pack = jax.lax.dynamic_update_slice(t_pack, pack[:, None], (0, t))
+        t_len = jax.lax.dynamic_update_slice(
+            t_len, jnp.where(is_match, mlen, 1)[:, None], (0, t)
+        )
+        t_dist = jax.lax.dynamic_update_slice(t_dist, dist[:, None], (0, t))
+        return (bit + advance, outp + outlen, t_start, t_pack, t_len, t_dist, bad)
+
+    init = (
+        seg_bits.astype(jnp.int32),
+        jnp.zeros(S, jnp.int32),
+        jnp.full((S, SEG), SEG, jnp.int32),
+        jnp.zeros((S, SEG), jnp.int32),
+        jnp.ones((S, SEG), jnp.int32),
+        jnp.zeros((S, SEG), jnp.int32),
+        jnp.zeros(S, dtype=bool),
+    )
+    bit, outp, t_start, t_pack, t_len, t_dist, bad = jax.lax.fori_loop(
+        0, SEG, step, init
+    )
+    ok = jnp.all(outp == target) & jnp.logical_not(jnp.any(bad))
+
+    # --- expansion: per-position token id ------------------------------
+    flat_start = (lanes[:, None] * SEG + t_start).reshape(-1)  # sentinel rows -> lane*SEG+SEG
+    boundary = jnp.zeros(N + SEG, jnp.int32).at[jnp.clip(flat_start, 0, N + SEG - 1)].add(
+        jnp.where(t_start.reshape(-1) < SEG, 1, 0)
+    )[:N]
+    tokid_in_lane = jnp.cumsum(boundary.reshape(S, SEG), axis=1) - 1
+    tokid_flat = (lanes[:, None] * SEG + tokid_in_lane).reshape(-1)
+    tokid_flat = jnp.clip(tokid_flat, 0, S * SEG - 1)
+
+    start_of = (lanes[:, None] * SEG + t_start).reshape(-1)[tokid_flat]
+    pack_of = t_pack.reshape(-1)[tokid_flat]
+    dist_of = jnp.maximum(t_dist.reshape(-1)[tokid_flat], 1)
+
+    gp = jnp.arange(N, dtype=jnp.int32)
+    rel = gp - start_of
+    is_lit_pos = pack_of >= 0
+    src = jnp.where(
+        is_lit_pos, gp, start_of - dist_of + (rel % dist_of)
+    )
+    src = jnp.clip(src, 0, N - 1)
+
+    # --- phase 2: pointer doubling to literal roots --------------------
+    # Literals are fixpoints (src == self), so composing the map with
+    # itself log2(N) times reaches every chain's literal root.
+    iters = max(1, int(np.ceil(np.log2(max(N, 2)))))
+    lit_flag = is_lit_pos
+    root = src
+    for _ in range(iters):
+        root = root[root]
+
+    out = jnp.where(lit_flag, pack_of, pack_of[root]).astype(jnp.uint8)
+    valid = jnp.arange(N, dtype=jnp.int32) < n
+    ok = ok & jnp.all(jnp.where(valid, lit_flag[root], True))
+    return out, jnp.where(ok, 1, 0).astype(jnp.int32).reshape(1)

@@ -32,11 +32,17 @@ from ..formats.deflate.options import ZlibMode
 
 @dataclasses.dataclass
 class BlockIndex:
-    """Side index of a block-parallel stream (in stream order)."""
+    """Side index of a block-parallel stream (in stream order).
+
+    ``segment_bits`` (optional) holds per-block arrays of segment bit
+    offsets relative to each block's first byte — the key that makes
+    self-produced blocks segment-parallel to decode on device
+    (kernels/inflate_jax.py)."""
 
     raw_lengths: list[int]
     compressed_offsets: list[int]  # offset of each block's first byte
     compressed_lengths: list[int]
+    segment_bits: list | None = None
 
     def to_bytes(self) -> bytes:
         out = bytearray(struct.pack("<I", len(self.raw_lengths)))
@@ -102,14 +108,22 @@ class BlockParallelEncoder:
                 lens[i] = len(chunk)
 
         with self.metrics.stage("device_encode"), trace_span("compu/device_encode"):
-            out, out_lens, adlers = self.block_fn(blocks, lens)
+            result = self.block_fn(blocks, lens)
+        seg_index = None
+        if len(result) == 4:
+            out, out_lens, adlers, seg_index = result
+        else:
+            out, out_lens, adlers = result
         out_lens = np.asarray(out_lens)
         adlers = np.asarray(adlers)
         for i in range(nblocks):
             self.metrics.record_block(int(lens[i]), int(out_lens[i]))
 
         with self.metrics.stage("assemble"):
-            return self._assemble(data, out, out_lens, adlers, lens, nblocks, n)
+            stream, index = self._assemble(data, out, out_lens, adlers, lens, nblocks, n)
+        if seg_index is not None:
+            index.segment_bits = [seg_index[i] for i in range(nblocks)]
+        return stream, index
 
     def _assemble(self, data, out, out_lens, adlers, lens, nblocks, n):
         header = (
@@ -150,15 +164,49 @@ class BlockParallelDecoder:
     concatenation because the index is in stream order.
     """
 
-    def __init__(self, block_decode_fn=None):
+    def __init__(self, block_decode_fn=None, device: bool = False,
+                 block_size: int = 1 << 18):
         self._decode_block = block_decode_fn or _host_inflate_block
+        self._device = device
+        self._block_size = block_size
 
     def decode(self, stream: bytes, index: BlockIndex) -> bytes:
+        if self._device and index.segment_bits is not None:
+            return self._decode_device(stream, index)
         pieces = []
         for off, clen, rlen in zip(
             index.compressed_offsets, index.compressed_lengths, index.raw_lengths
         ):
             pieces.append(self._decode_block(stream[off : off + clen], rlen))
+        return b"".join(pieces)
+
+    def _decode_device(self, stream: bytes, index: BlockIndex) -> bytes:
+        """Segment-parallel device inflate (kernels/inflate_jax.py):
+        one fixed-shape kernel call per block, all dispatched async."""
+        import jax.numpy as jnp
+
+        from ..kernels.inflate_jax import decode_block_indexed
+
+        bs = self._block_size
+        cap = bs + bs // 4 + 64 + 16
+        futs = []
+        for b, (off, clen, rlen) in enumerate(
+            zip(index.compressed_offsets, index.compressed_lengths, index.raw_lengths)
+        ):
+            comp = np.zeros(cap, dtype=np.uint8)
+            comp[:clen] = np.frombuffer(stream[off : off + clen], dtype=np.uint8)
+            out, ok = decode_block_indexed(
+                jnp.asarray(comp),
+                jnp.asarray(np.asarray(index.segment_bits[b], dtype=np.int32)),
+                jnp.int32(rlen),
+                n_out=bs,
+            )
+            futs.append((out, ok, rlen))
+        pieces = []
+        for out, ok, rlen in futs:
+            if int(np.asarray(ok)[0]) != 1:
+                raise ValueError("device inflate failed consistency checks")
+            pieces.append(np.asarray(out)[:rlen].tobytes())
         return b"".join(pieces)
 
 

@@ -75,3 +75,15 @@ def test_mesh_sharded_encode():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_device_decode_roundtrip():
+    """Device encode with segment index -> segment-parallel device inflate."""
+    data = (ALICE * 2)[: 3 * BS + 777]
+    fn = make_block_encode_fn(ZlibMode.Gzip, level=4, segment_index=True)
+    enc = BlockParallelEncoder(fn, block_size=BS, mode=ZlibMode.Gzip)
+    stream, index = enc.encode(data)
+    assert zlib.decompress(stream, wbits=31) == data
+    assert index.segment_bits is not None
+    dec = BlockParallelDecoder(device=True, block_size=BS)
+    assert dec.decode(stream, index) == data
