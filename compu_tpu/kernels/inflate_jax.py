@@ -84,33 +84,43 @@ def _onehot_lookup(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("n_out",))
-def decode_block_indexed(comp: jnp.ndarray, seg_bits: jnp.ndarray, n: jnp.ndarray,
-                         *, n_out: int):
-    """Decode one v2 block. ``comp`` is the compressed bytes padded with at
-    least 8 trailing zeros; ``seg_bits`` the per-segment bit offsets;
-    ``n`` the actual decoded length (<= n_out, the padded block size).
+def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.ndarray,
+                          *, n_out: int):
+    """Decode a BATCH of v2 blocks in one kernel (amortizes per-op dispatch
+    overhead across B*S lanes).
 
-    Returns (out u8[n_out], ok i32[1]) — ok == 1 iff every lane produced
-    exactly its target bytes with no invalid symbols.
+    Args:
+      comps: uint8[B, CAP] compressed bytes per block (>= 8 zero pad each).
+      seg_bits: int32[B, S] per-segment bit offsets.
+      ns: int32[B] decoded length per block (<= n_out).
+      n_out: padded block size (static).
+
+    Returns (out u8[B*n_out], ok i32[1]).
     """
+    B, CAP = comps.shape
     N = n_out
     S = N // SEG
+    L = B * S
     lit_t = jnp.asarray(_LIT_ATTRS)
     dist_t = jnp.asarray(_DIST_ATTRS)
-    lanes = jnp.arange(S, dtype=jnp.int32)
-    target = jnp.clip(n - lanes * SEG, 0, SEG)
+    flat_comp = comps.reshape(B * CAP)
+    lane = jnp.arange(L, dtype=jnp.int32)
+    blk = lane // S
+    seg = lane % S
+    target = jnp.clip(ns[blk] - seg * SEG, 0, SEG)
+    comp_base = blk * CAP
 
     def window(bit):
-        byte = bit >> 3
-        b0 = comp[byte].astype(jnp.uint32)
-        b1 = comp[byte + 1].astype(jnp.uint32)
-        b2 = comp[byte + 2].astype(jnp.uint32)
-        b3 = comp[byte + 3].astype(jnp.uint32)
+        byte = comp_base + (bit >> 3)
+        b0 = flat_comp[byte].astype(jnp.uint32)
+        b1 = flat_comp[byte + 1].astype(jnp.uint32)
+        b2 = flat_comp[byte + 2].astype(jnp.uint32)
+        b3 = flat_comp[byte + 3].astype(jnp.uint32)
         w = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
         return w >> (bit & 7).astype(jnp.uint32)
 
     def step(t, carry):
-        bit, outp, t_start, t_pack, t_len, t_dist, bad = carry
+        bit, outp, t_start, t_pack, t_dist, bad = carry
         active = outp < target
         w = window(bit)
         idx9 = (w & 511).astype(jnp.int32)
@@ -143,57 +153,69 @@ def decode_block_indexed(comp: jnp.ndarray, seg_bits: jnp.ndarray, n: jnp.ndarra
         )
         pack = jnp.where(is_lit, byte, -1)  # literal byte, or -1 for match
         t_pack = jax.lax.dynamic_update_slice(t_pack, pack[:, None], (0, t))
-        t_len = jax.lax.dynamic_update_slice(
-            t_len, jnp.where(is_match, mlen, 1)[:, None], (0, t)
-        )
         t_dist = jax.lax.dynamic_update_slice(t_dist, dist[:, None], (0, t))
-        return (bit + advance, outp + outlen, t_start, t_pack, t_len, t_dist, bad)
+        return (bit + advance, outp + outlen, t_start, t_pack, t_dist, bad)
 
     init = (
-        seg_bits.astype(jnp.int32),
-        jnp.zeros(S, jnp.int32),
-        jnp.full((S, SEG), SEG, jnp.int32),
-        jnp.zeros((S, SEG), jnp.int32),
-        jnp.ones((S, SEG), jnp.int32),
-        jnp.zeros((S, SEG), jnp.int32),
-        jnp.zeros(S, dtype=bool),
+        seg_bits.reshape(L).astype(jnp.int32),
+        jnp.zeros(L, jnp.int32),
+        jnp.full((L, SEG), SEG, jnp.int32),
+        jnp.zeros((L, SEG), jnp.int32),
+        jnp.zeros((L, SEG), jnp.int32),
+        jnp.zeros(L, dtype=bool),
     )
-    bit, outp, t_start, t_pack, t_len, t_dist, bad = jax.lax.fori_loop(
-        0, SEG, step, init
-    )
+    bit, outp, t_start, t_pack, t_dist, bad = jax.lax.fori_loop(0, SEG, step, init)
     ok = jnp.all(outp == target) & jnp.logical_not(jnp.any(bad))
 
     # --- expansion: per-position token id ------------------------------
-    flat_start = (lanes[:, None] * SEG + t_start).reshape(-1)  # sentinel rows -> lane*SEG+SEG
-    boundary = jnp.zeros(N + SEG, jnp.int32).at[jnp.clip(flat_start, 0, N + SEG - 1)].add(
-        jnp.where(t_start.reshape(-1) < SEG, 1, 0)
-    )[:N]
-    tokid_in_lane = jnp.cumsum(boundary.reshape(S, SEG), axis=1) - 1
-    tokid_flat = (lanes[:, None] * SEG + tokid_in_lane).reshape(-1)
-    tokid_flat = jnp.clip(tokid_flat, 0, S * SEG - 1)
+    NT = B * N
+    lane_out_base = lane * SEG  # == flat output offset of the lane's segment
+    flat_start = (lane_out_base[:, None] + t_start).reshape(-1)
+    boundary = jnp.zeros(NT + SEG, jnp.int32).at[
+        jnp.clip(flat_start, 0, NT + SEG - 1)
+    ].add(jnp.where(t_start.reshape(-1) < SEG, 1, 0))[:NT]
+    tokid_in_lane = jnp.cumsum(boundary.reshape(L, SEG), axis=1) - 1
+    tokid_flat = jnp.clip(
+        (lane[:, None] * SEG + tokid_in_lane).reshape(-1), 0, L * SEG - 1
+    )
 
-    start_of = (lanes[:, None] * SEG + t_start).reshape(-1)[tokid_flat]
+    start_of = flat_start[tokid_flat]
     pack_of = t_pack.reshape(-1)[tokid_flat]
     dist_of = jnp.maximum(t_dist.reshape(-1)[tokid_flat], 1)
 
-    gp = jnp.arange(N, dtype=jnp.int32)
+    gp = jnp.arange(NT, dtype=jnp.int32)
     rel = gp - start_of
     is_lit_pos = pack_of >= 0
-    src = jnp.where(
-        is_lit_pos, gp, start_of - dist_of + (rel % dist_of)
-    )
-    src = jnp.clip(src, 0, N - 1)
+    src = jnp.where(is_lit_pos, gp, start_of - dist_of + (rel % dist_of))
+    src = jnp.clip(src, 0, NT - 1)
 
     # --- phase 2: pointer doubling to literal roots --------------------
-    # Literals are fixpoints (src == self), so composing the map with
-    # itself log2(N) times reaches every chain's literal root.
-    iters = max(1, int(np.ceil(np.log2(max(N, 2)))))
-    lit_flag = is_lit_pos
-    root = src
-    for _ in range(iters):
-        root = root[root]
+    # Literals are fixpoints, so composing the source map with itself
+    # reaches every chain's root; the while_loop exits as soon as all
+    # valid positions have literal roots (typical depth is small).
+    valid = (gp % N) < ns[gp // N]
+    max_iters = max(1, int(np.ceil(np.log2(max(NT, 2)))))
 
-    out = jnp.where(lit_flag, pack_of, pack_of[root]).astype(jnp.uint8)
-    valid = jnp.arange(N, dtype=jnp.int32) < n
-    ok = ok & jnp.all(jnp.where(valid, lit_flag[root], True))
+    def not_done(carry):
+        root, it = carry
+        unresolved = jnp.any(jnp.where(valid, jnp.logical_not(is_lit_pos[root]), False))
+        return unresolved & (it < max_iters)
+
+    def advance(carry):
+        root, it = carry
+        return root[root], it + 1
+
+    root, _ = jax.lax.while_loop(not_done, advance, (src, jnp.int32(0)))
+
+    out = jnp.where(is_lit_pos, pack_of, pack_of[root]).astype(jnp.uint8)
+    ok = ok & jnp.all(jnp.where(valid, is_lit_pos[root], True))
     return out, jnp.where(ok, 1, 0).astype(jnp.int32).reshape(1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def decode_block_indexed(comp: jnp.ndarray, seg_bits: jnp.ndarray, n: jnp.ndarray,
+                         *, n_out: int):
+    """Single-block wrapper over :func:`decode_blocks_indexed`."""
+    return decode_blocks_indexed(
+        comp[None, :], seg_bits[None, :], n.reshape(1), n_out=n_out
+    )

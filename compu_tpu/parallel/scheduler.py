@@ -180,33 +180,47 @@ class BlockParallelDecoder:
             pieces.append(self._decode_block(stream[off : off + clen], rlen))
         return b"".join(pieces)
 
+    DEVICE_DECODE_BATCH = 16
+
     def _decode_device(self, stream: bytes, index: BlockIndex) -> bytes:
-        """Segment-parallel device inflate (kernels/inflate_jax.py):
-        one fixed-shape kernel call per block, all dispatched async."""
+        """Segment-parallel device inflate (kernels/inflate_jax.py),
+        batched DEVICE_DECODE_BATCH blocks per kernel call (amortizes
+        per-op dispatch overhead across all segment lanes)."""
         import jax.numpy as jnp
 
-        from ..kernels.inflate_jax import decode_block_indexed
+        from ..kernels.inflate_jax import decode_blocks_indexed
 
         bs = self._block_size
         cap = bs + bs // 4 + 64 + 16
+        nblocks = len(index.raw_lengths)
+        batch = self.DEVICE_DECODE_BATCH
         futs = []
-        for b, (off, clen, rlen) in enumerate(
-            zip(index.compressed_offsets, index.compressed_lengths, index.raw_lengths)
-        ):
-            comp = np.zeros(cap, dtype=np.uint8)
-            comp[:clen] = np.frombuffer(stream[off : off + clen], dtype=np.uint8)
-            out, ok = decode_block_indexed(
-                jnp.asarray(comp),
-                jnp.asarray(np.asarray(index.segment_bits[b], dtype=np.int32)),
-                jnp.int32(rlen),
-                n_out=bs,
+        for base in range(0, nblocks, batch):
+            cnt = min(batch, nblocks - base)
+            comps = np.zeros((batch, cap), dtype=np.uint8)
+            segs = np.zeros((batch, bs // 128), dtype=np.int32)
+            ns = np.zeros(batch, dtype=np.int32)
+            for j in range(cnt):
+                b = base + j
+                off = index.compressed_offsets[b]
+                clen = index.compressed_lengths[b]
+                comps[j, :clen] = np.frombuffer(
+                    stream[off : off + clen], dtype=np.uint8
+                )
+                segs[j] = np.asarray(index.segment_bits[b], dtype=np.int32)
+                ns[j] = index.raw_lengths[b]
+            out, ok = decode_blocks_indexed(
+                jnp.asarray(comps), jnp.asarray(segs), jnp.asarray(ns), n_out=bs
             )
-            futs.append((out, ok, rlen))
+            futs.append((out, ok, base, cnt))
         pieces = []
-        for out, ok, rlen in futs:
+        for out, ok, base, cnt in futs:
             if int(np.asarray(ok)[0]) != 1:
                 raise ValueError("device inflate failed consistency checks")
-            pieces.append(np.asarray(out)[:rlen].tobytes())
+            flat = np.asarray(out)
+            for j in range(cnt):
+                rlen = index.raw_lengths[base + j]
+                pieces.append(flat[j * bs : j * bs + rlen].tobytes())
         return b"".join(pieces)
 
 
