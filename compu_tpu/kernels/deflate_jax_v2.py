@@ -7,10 +7,10 @@ walk + match measurement + pointer doubling issue hundreds of them
 hardware likes (PLAN.md records the microbenchmarks):
 
 1. *Sort-carried windows*: `lax.sort` with payload operands carries each
-   position's 16-byte window THROUGH the sort network, so candidate
+   position's WCAP-byte window THROUGH the sort network, so candidate
    generation needs no gathers at all — sorted-order neighbors (depth d =
    rolled arrays) are the hash-chain candidates, and match lengths are
-   dense u32 XOR/ctz compares, capped at 16 bytes.
+   dense u32 XOR/ctz compares, capped at WCAP bytes.
 2. *Run extension*: distance-1 runs (the long-match case that matters)
    are recovered with log-doubling on dense ops, capped at 255.
 3. *Sort-back*: results return to position order by a second payload sort
@@ -19,8 +19,11 @@ hardware likes (PLAN.md records the microbenchmarks):
    matrix squaring over 256-byte segments (one-hot jump matrices are
    function matrices — exact in bf16; reach vectors accumulate in f32 and
    clamp). Matches clip at segment ends.
-5. Fixed-Huffman field mapping via one-hot MXU lookups; bit packing keeps
-   the 4-pass scatter-add (bit partition ⇒ add == or).
+5. Fixed-Huffman field mapping via one-hot MXU lookups; bit packing is
+   scatter-free: fields drop into segment-local byte rows via a one-hot
+   einsum (bit-disjoint contributions keep float sums exact), rows shift
+   to their global bit phase and land with sequential interior writes —
+   only segment-boundary bytes + header + EOB use one tiny scatter-add.
 
 Output format is identical to v1: an RFC1951 raw-deflate byte run ending
 with an empty stored block (sync flush), byte-aligned, window ≤ block.
@@ -51,7 +54,7 @@ from .deflate_jax import (
 )
 
 SEG = 128          # parse segment (matches clip here; MXU-sized)
-WCAP = 16          # bytes measured per hash-chain candidate
+WCAP = 32          # bytes measured per hash-chain candidate
 RUN_CAP = 255      # distance-1 run match cap
 
 
@@ -89,13 +92,10 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     v3 = d0 | (jnp.roll(d0, -1) << 8) | (jnp.roll(d0, -2) << 16)
     h = (v3 * jnp.uint32(2654435761)) >> jnp.uint32(16)
     h = jnp.where(pos_all < n - 2, h, jnp.uint32(0x10000) + pos_all.astype(jnp.uint32))
-    w0 = _u32_words(data, 0)
-    w1 = _u32_words(data, 1)
-    w2 = _u32_words(data, 2)
-    w3 = _u32_words(data, 3)
-    hs, ps, s0, s1, s2, s3 = jax.lax.sort(
-        (h, pos_all, w0, w1, w2, w3), num_keys=1, is_stable=True
-    )
+    words = [_u32_words(data, k) for k in range(WCAP // 4)]
+    sorted_ops = jax.lax.sort((h, pos_all, *words), num_keys=1, is_stable=True)
+    hs, ps = sorted_ops[0], sorted_ops[1]
+    sw = sorted_ops[2:]
 
     # --- 2. sorted-neighbor candidates (dense) -------------------------
     best_len_s = jnp.zeros(N, dtype=jnp.int32)
@@ -105,13 +105,10 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
         same = same & (pos_all >= d)
         dist = ps - jnp.roll(ps, d)
         ok = same & (dist > 0) & (dist <= max_dist)
-        l = _ctz_bytes(s0 ^ jnp.roll(s0, d))
-        l4 = _ctz_bytes(s1 ^ jnp.roll(s1, d))
-        l8 = _ctz_bytes(s2 ^ jnp.roll(s2, d))
-        l12 = _ctz_bytes(s3 ^ jnp.roll(s3, d))
-        l = l + jnp.where(l == 4, l4, 0)
-        l = l + jnp.where(l == 8, l8, 0)
-        l = l + jnp.where(l == 12, l12, 0)
+        l = _ctz_bytes(sw[0] ^ jnp.roll(sw[0], d))
+        for k in range(1, WCAP // 4):
+            lk = _ctz_bytes(sw[k] ^ jnp.roll(sw[k], d))
+            l = l + jnp.where(l == 4 * k, lk, 0)
         l = jnp.where(ok, l, 0)
         better = l > best_len_s
         best_len_s = jnp.where(better, l, best_len_s)
@@ -234,40 +231,85 @@ def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     f1_val = dist_rev_t[dsym] | (dextra_val << dcode_bits.astype(jnp.uint32))
     f1_bits = jnp.where(is_match_tok, dcode_bits + dextra_bits, 0)
 
-    # --- assemble + pack (same layout as v1) ----------------------------
-    hdr_val = jnp.asarray([2], dtype=jnp.uint32)  # bfinal=0, btype=01
-    hdr_bits = jnp.asarray([3], dtype=jnp.int32)
-    eob_val = jnp.asarray([_FIXED_LIT_REV[256]], dtype=jnp.uint32)
-    eob_bits = jnp.asarray([int(_FIXED_LIT_LEN[256])], dtype=jnp.int32)
-
+    # --- assemble + matmul pack -----------------------------------------
+    # Bit packing is scatter-free: fields map to SEGMENT-LOCAL byte rows by
+    # a one-hot einsum (bit-disjoint contributions make float sums exact),
+    # rows shift to their global bit phase, interiors land via sequential
+    # dynamic_update_slice (ascending starts heal the overhang), and only
+    # the segment-boundary bytes + stream header + EOB go through one tiny
+    # scatter-add. (The 4-pass full scatter this replaces was ~1/3 of the
+    # kernel's runtime.)
     per_pos = f0_bits + f1_bits
     base = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(per_pos)])
     off_f0 = 3 + base[:N]
     off_f1 = off_f0 + f0_bits
     off_eob = 3 + base[N]
-    offsets = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), off_f0, off_f1, off_eob[None]]
-    )
-    vals = jnp.concatenate([hdr_val, f0_val.astype(jnp.uint32), f1_val.astype(jnp.uint32), eob_val])
-    bits = jnp.concatenate([hdr_bits, f0_bits, f1_bits, eob_bits])
-
-    total_bits = off_eob + eob_bits[0]
+    total_bits = off_eob + int(_FIXED_LIT_LEN[256])
     total_bytes = (total_bits + 3 + 7) // 8
-    out = jnp.zeros(cap, dtype=jnp.int32)
-    shifted = vals << (offsets % 8).astype(jnp.uint32)
-    bytepos = offsets // 8
-    valid_field = bits > 0
-    for k in range(4):
-        contrib = ((shifted >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
-        idx = jnp.where(valid_field, bytepos + k, cap - 1)
-        contrib = jnp.where(valid_field, contrib, 0)
-        out = out.at[jnp.clip(idx, 0, cap - 1)].add(contrib)
+
+    S = N // SEG
+    W = 256  # row bytes per segment (worst case 149; 256 tiles cleanly)
+    seg_bit0 = off_f0.reshape(S, SEG)[:, 0]
+    loc_f0 = off_f0.reshape(S, SEG) - seg_bit0[:, None]
+    loc_f1 = off_f1.reshape(S, SEG) - seg_bit0[:, None]
+    floc = jnp.concatenate([loc_f0, loc_f1], axis=1)  # (S, 2*SEG)
+    fvals = jnp.concatenate(
+        [f0_val.reshape(S, SEG), f1_val.reshape(S, SEG)], axis=1
+    ).astype(jnp.uint32)
+    fbits = jnp.concatenate([f0_bits.reshape(S, SEG), f1_bits.reshape(S, SEG)], axis=1)
+    shifted = jnp.where(fbits > 0, fvals << (floc & 7).astype(jnp.uint32), 0)
+    bytep = floc >> 3  # (S, 2*SEG), in [0, W-4)
+
+    oh = (
+        bytep[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (S, 2 * SEG, W), 2)
+    ).astype(jnp.bfloat16)
+    vals4 = jnp.stack(
+        [((shifted >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+         for k in range(4)],
+        axis=-1,
+    )  # byte values <= 255: exact in bf16; sums per byte <= 255 (disjoint bits)
+    out4 = jnp.einsum(
+        "sfb,sfk->sbk", oh, vals4, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (S, W, 4)
+    row = out4[:, :, 0]
+    for k in range(1, 4):
+        row = row + jnp.pad(out4[:, : W - k, k], ((0, 0), (k, 0)))
+
+    # Shift each row to its global bit phase.
+    r = (seg_bit0 & 7)[:, None]
+    prev = jnp.pad(row[:, :-1], ((0, 0), (1, 0)))
+    row_sh = ((row << r) | (prev >> (8 - r))) & 0xFF
+    gbyte = seg_bit0 >> 3
+
+    # Interior writes (bytes after each row's first), ascending.
+    def write_row(s, buf):
+        return jax.lax.dynamic_update_slice(buf, row_sh[s, 1:], (gbyte[s] + 1,))
+
+    out = jax.lax.fori_loop(0, S, write_row, jnp.zeros(cap + W, dtype=jnp.int32))
+    # Boundary bytes (bit-disjoint with neighbors), stream header, EOB.
+    eob_code = jnp.uint32(int(_FIXED_LIT_REV[256]))
+    eob_shift = (off_eob & 7).astype(jnp.uint32)
+    eob_v = eob_code << eob_shift
+    add_idx = jnp.concatenate([
+        gbyte,
+        jnp.zeros(1, jnp.int32),
+        (off_eob >> 3).reshape(1),
+        (off_eob >> 3).reshape(1) + 1,
+    ])
+    add_val = jnp.concatenate([
+        row_sh[:, 0],
+        jnp.asarray([2], jnp.int32),  # bfinal=0, btype=01 at bits 0-2
+        (eob_v & 0xFF).astype(jnp.int32).reshape(1),
+        ((eob_v >> 8) & 0xFF).astype(jnp.int32).reshape(1),
+    ])
+    out = out.at[jnp.clip(add_idx, 0, cap + W - 1)].add(add_val)
     out = out.at[total_bytes].set(0)
     out = out.at[total_bytes + 1].set(0)
     out = out.at[total_bytes + 2].set(0xFF)
     out = out.at[total_bytes + 3].set(0xFF)
     out_len = total_bytes + 4
-    out_u8 = (out & 0xFF).astype(jnp.uint8)
+    out_u8 = (out[:cap] & 0xFF).astype(jnp.uint8)
 
     # --- adler32 (int32-safe two-level reduction) -----------------------
     db = jnp.where(in_range, data.astype(jnp.int32), 0)
