@@ -148,23 +148,29 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
         advance = jnp.where(is_lit, clen, jnp.where(is_match, used + dbits, 0))
         outlen = jnp.where(is_lit, 1, jnp.where(is_match, mlen, 0))
 
+        # Token records live as (SEG, L): writing step t is one contiguous
+        # ROW update (minor-axis column updates force strided copies).
         t_start = jax.lax.dynamic_update_slice(
-            t_start, jnp.where(active, outp, SEG)[:, None], (0, t)
+            t_start, jnp.where(active, outp, SEG)[None, :], (t, 0)
         )
         pack = jnp.where(is_lit, byte, -1)  # literal byte, or -1 for match
-        t_pack = jax.lax.dynamic_update_slice(t_pack, pack[:, None], (0, t))
-        t_dist = jax.lax.dynamic_update_slice(t_dist, dist[:, None], (0, t))
+        t_pack = jax.lax.dynamic_update_slice(t_pack, pack[None, :], (t, 0))
+        t_dist = jax.lax.dynamic_update_slice(t_dist, dist[None, :], (t, 0))
         return (bit + advance, outp + outlen, t_start, t_pack, t_dist, bad)
 
     init = (
         seg_bits.reshape(L).astype(jnp.int32),
         jnp.zeros(L, jnp.int32),
-        jnp.full((L, SEG), SEG, jnp.int32),
-        jnp.zeros((L, SEG), jnp.int32),
-        jnp.zeros((L, SEG), jnp.int32),
+        jnp.full((SEG, L), SEG, jnp.int32),
+        jnp.zeros((SEG, L), jnp.int32),
+        jnp.zeros((SEG, L), jnp.int32),
         jnp.zeros(L, dtype=bool),
     )
     bit, outp, t_start, t_pack, t_dist, bad = jax.lax.fori_loop(0, SEG, step, init)
+    # Back to lane-major for the expansion phase.
+    t_start = t_start.T
+    t_pack = t_pack.T
+    t_dist = t_dist.T
     ok = jnp.all(outp == target) & jnp.logical_not(jnp.any(bad))
 
     # --- expansion: per-position token id ------------------------------
