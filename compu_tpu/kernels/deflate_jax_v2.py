@@ -40,16 +40,8 @@ import jax.numpy as jnp
 
 from ..formats.deflate import consts
 from .deflate_jax import (
-    _FIXED_DIST_LEN,
-    _FIXED_DIST_REV,
     _FIXED_LIT_LEN,
     _FIXED_LIT_REV,
-    _DIST_BASE,
-    _DIST_CODE,
-    _DIST_EXTRA,
-    _LENGTH_BASE,
-    _LENGTH_CODE,
-    _LENGTH_EXTRA,
     ADLER_MOD,
 )
 
@@ -74,6 +66,71 @@ def _ctz_bytes(x: jnp.ndarray) -> jnp.ndarray:
     low = x & (jnp.uint32(0) - x)
     cnt = (jax.lax.population_count(low - jnp.uint32(1)) >> 3).astype(jnp.int32)
     return jnp.where(x == 0, jnp.int32(4), cnt)
+
+
+def _rev9(x: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the low 9 bits of an i32 array (dense butterfly)."""
+    x = x.astype(jnp.int32)
+    r = jnp.zeros_like(x)
+    for i in range(9):
+        r = r | (((x >> i) & 1) << (8 - i))
+    return r
+
+
+def _rev(x: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
+    """Reverse ``x`` within ``bits`` (<=9) bits: rev9 then drop the pad."""
+    return _rev9(x) >> (9 - bits)
+
+
+def _fixed_fields(data, mlen, dclip, is_match_tok, is_lit):
+    """Fixed-Huffman token fields in closed form — zero table gathers.
+
+    DEFLATE's length/dist code tables are log2-structured (RFC1951 §3.2.5)
+    and the fixed literal/length tree is four contiguous code ranges
+    (§3.2.6), so symbol, code, base, and extra-bit arithmetic are a handful
+    of dense compares/shifts — far cheaper on the VPU than 256K-index
+    gathers from the tables (which cost ~1-2 ms each on TPU; PLAN.md)."""
+    # --- length side: m = mlen-3; e = max(0, floor(log2 m) - 2) ----------
+    m = mlen - consts.MIN_MATCH
+    e_l = ((m >= 8).astype(jnp.int32) + (m >= 16) + (m >= 32)
+           + (m >= 64) + (m >= 128))
+    lsym = 257 + (e_l << 2) + (m >> e_l)
+    lextra_val = (m & ((1 << e_l) - 1)).astype(jnp.uint32)
+    # length 258 has its own zero-extra symbol 285
+    is258 = mlen == consts.MAX_MATCH
+    lsym = jnp.where(is258, 285, lsym)
+    e_l = jnp.where(is258, 0, e_l)
+    lextra_val = jnp.where(is258, jnp.uint32(0), lextra_val)
+    # fixed tree: syms 256-279 -> 7-bit code sym-256; 280-287 -> 8-bit 0xC0+
+    lcode_bits = jnp.where(lsym >= 280, 8, 7)
+    lcode = jnp.where(lsym >= 280, 0xC0 + (lsym - 280), lsym - 256)
+    lrev = _rev(lcode, lcode_bits)
+
+    # --- dist side: ds = d-1; e = max(0, floor(log2 ds) - 1) -------------
+    ds = dclip - 1
+    e_d = (ds >= 4).astype(jnp.int32)
+    for k in range(3, 15):
+        e_d = e_d + (ds >= (1 << k))
+    dsym = jnp.where(ds < 2, ds, 2 * (e_d + 1) + ((ds >> e_d) & 1))
+    dextra_val = (ds & ((1 << e_d) - 1)).astype(jnp.uint32)
+    drev = _rev(dsym, jnp.int32(5))  # all fixed dist codes are 5 bits
+
+    # --- literal side: two ranges of the fixed tree -----------------------
+    v = data.astype(jnp.int32)
+    lit_bits = jnp.where(v >= 144, 9, 8)
+    lit_code = jnp.where(v >= 144, 0x190 + (v - 144), 0x30 + v)
+    lit_rev = _rev(lit_code, lit_bits)
+
+    f0_val = jnp.where(
+        is_match_tok,
+        lrev.astype(jnp.uint32) | (lextra_val << lcode_bits.astype(jnp.uint32)),
+        lit_rev.astype(jnp.uint32),
+    )
+    f0_bits = jnp.where(is_match_tok, lcode_bits + e_l,
+                        jnp.where(is_lit, lit_bits, 0))
+    f1_val = drev.astype(jnp.uint32) | (dextra_val << jnp.uint32(5))
+    f1_bits = jnp.where(is_match_tok, 5 + e_d, 0)
+    return f0_val, f0_bits, f1_val, f1_bits
 
 
 def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
@@ -196,40 +253,13 @@ def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     )
     take = best_len >= consts.MIN_MATCH
 
-    # --- 5. fixed-Huffman fields (one-hot MXU lookups) ------------------
-    lit_len_t = jnp.asarray(_FIXED_LIT_LEN)
-    lit_rev_t = jnp.asarray(_FIXED_LIT_REV)
-    dist_len_t = jnp.asarray(_FIXED_DIST_LEN)
-    dist_rev_t = jnp.asarray(_FIXED_DIST_REV)
-
+    # --- 5. fixed-Huffman fields (closed-form, gather-free) --------------
     is_match_tok = is_tok & take
     mlen = jnp.clip(best_len, consts.MIN_MATCH, consts.MAX_MATCH)
-    lsym = jnp.asarray(_LENGTH_CODE)[mlen]
-    lsym_idx = lsym - 257
-    lcode_bits = lit_len_t[lsym]
-    lextra_bits = jnp.asarray(_LENGTH_EXTRA)[lsym_idx]
-    lextra_val = (mlen - jnp.asarray(_LENGTH_BASE)[lsym_idx]).astype(jnp.uint32)
-
     dclip = jnp.clip(best_dist, 1, consts.WINDOW_SIZE)
-    dsym = jnp.asarray(_DIST_CODE)[dclip]
-    dcode_bits = dist_len_t[dsym]
-    dextra_bits = jnp.asarray(_DIST_EXTRA)[dsym]
-    dextra_val = (dclip - jnp.asarray(_DIST_BASE)[dsym]).astype(jnp.uint32)
-
-    lit_field_val = lit_rev_t[data.astype(jnp.int32)]
-    lit_field_bits = lit_len_t[data.astype(jnp.int32)]
-
-    f0_val = jnp.where(
-        is_match_tok,
-        lit_rev_t[lsym] | (lextra_val << lcode_bits.astype(jnp.uint32)),
-        lit_field_val,
+    f0_val, f0_bits, f1_val, f1_bits = _fixed_fields(
+        data, mlen, dclip, is_match_tok, is_tok & ~take
     )
-    f0_bits = jnp.where(
-        is_match_tok, lcode_bits + lextra_bits,
-        jnp.where(is_tok & ~take, lit_field_bits, 0),
-    )
-    f1_val = dist_rev_t[dsym] | (dextra_val << dcode_bits.astype(jnp.uint32))
-    f1_bits = jnp.where(is_match_tok, dcode_bits + dextra_bits, 0)
 
     # --- assemble + matmul pack -----------------------------------------
     # Bit packing is scatter-free: fields map to SEGMENT-LOCAL byte rows by
