@@ -75,13 +75,16 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
     kernel (closer to the host ladder, much slower on TPU)."""
     depth, nice, lazy = _LEVEL[max(1, min(9, level))]
 
+    check = "crc" if mode is ZlibMode.Gzip else "adler"
+
     def encode_one(block, n):
         # Fixed-Huffman worst case is 9 bits/byte (+ tiny block overhead),
         # so N + N//4 capacity is safe and trims the D2H transfer.
         cap = block.shape[0] + block.shape[0] // 4 + 64
         if kernel == "v2":
             return encode_block_fixed_v2(
-                block, n, depth=min(depth, 8), cap=cap, with_index=segment_index
+                block, n, depth=min(depth, 8), cap=cap,
+                with_index=segment_index, check=check,
             )
         assert not segment_index, "segment index requires the v2 kernel"
         return encode_block_fixed(block, n, depth=depth, nice=nice, lazy=lazy, cap=cap)
@@ -90,7 +93,9 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
         B, N = blocks.shape
         cap = N + N // 4 + 64
         blocks_dev = jax.device_put(blocks)  # one bulk upload
-        outs, metas, crc_futs, seg_futs = [], [], [], []
+        outs, metas, seg_futs = [], [], []
+        v1_gzip = kernel != "v2" and mode is ZlibMode.Gzip
+        crc_futs = []
         for i in range(B):
             r = encode_one(blocks_dev[i], jnp.int32(int(lens[i])))
             if segment_index:
@@ -100,32 +105,48 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
                 o, m = r
             outs.append(o)
             metas.append(m)
-            if mode is ZlibMode.Gzip:
+            if v1_gzip:  # v1 kernel computes adler only; gzip needs lane crc
                 crc_futs.append(crc32_lane_registers(blocks_dev[i], lanes=crc_lanes))
-        meta_host = np.asarray(jnp.stack(metas))  # sync 1 (small)
+        meta_stack = jnp.stack(metas)  # (B, 2) on device
+        # Device-side compaction (device lens — no host dependency), then
+        # ONE small fetch (meta + segment index) and ONE exact-size D2H.
+        packed = _compact(jnp.stack(outs), meta_stack[:, 0], cap=cap)
+        small = [meta_stack.reshape(-1)]
+        if segment_index:
+            small.append(jnp.stack(seg_futs).reshape(-1))
+        small_h = np.asarray(jnp.concatenate(small))  # sync 1 (small)
+        meta_host = small_h[: 2 * B].reshape(B, 2)
         out_lens = meta_host[:, 0].astype(np.int32)
-        adlers = meta_host[:, 1].astype(np.uint32)
-        # Device-side compaction, then ONE exact-size D2H.
-        packed = _compact(jnp.stack(outs), jnp.asarray(out_lens), cap=cap)
+        checks = meta_host[:, 1].astype(np.uint32)
+        seg_index = (
+            small_h[2 * B :].reshape(B, -1).astype(np.int32) if segment_index else None
+        )
         total = int(out_lens.sum())
         flat = np.asarray(packed[:total])  # sync 2 (exact bytes)
         offsets = np.concatenate([[0], np.cumsum(out_lens)])
         out = [flat[offsets[i] : offsets[i + 1]] for i in range(B)]
-        seg_index = np.asarray(jnp.stack(seg_futs)) if segment_index else None
         if mode is ZlibMode.Gzip:
-            regs = np.asarray(jnp.stack(crc_futs))  # sync 3 (small)
-            lane_bytes = N // crc_lanes
-            checks = np.empty(B, dtype=np.uint32)
-            for i in range(B):
-                reg = checksum.fold_lane_registers(regs[i], lane_bytes)
-                reg = checksum.crc_unshift(reg, N - int(lens[i]))
-                checks[i] = reg ^ 0xFFFFFFFF
-            if segment_index:
-                return out, out_lens, checks, seg_index
-            return out, out_lens, checks
+            if v1_gzip:
+                regs = np.asarray(jnp.stack(crc_futs))
+                lane_bytes = N // crc_lanes
+                crcs = np.empty(B, dtype=np.uint32)
+                for i in range(B):
+                    reg = checksum.fold_lane_registers(regs[i], lane_bytes)
+                    reg = checksum.crc_unshift(reg, N - int(lens[i]))
+                    crcs[i] = reg ^ 0xFFFFFFFF
+            else:
+                # meta carries the raw init-0 register of the padded block:
+                # fold in the init register, strip the pad, finalize.
+                front = checksum.crc_shift(0xFFFFFFFF, N)
+                crcs = np.empty(B, dtype=np.uint32)
+                for i in range(B):
+                    reg = front ^ int(checks[i])
+                    reg = checksum.crc_unshift(reg, N - int(lens[i]))
+                    crcs[i] = reg ^ 0xFFFFFFFF
+            checks = crcs
         if segment_index:
-            return out, out_lens, adlers, seg_index
-        return out, out_lens, adlers
+            return out, out_lens, checks, seg_index
+        return out, out_lens, checks
 
     return fn
 

@@ -225,6 +225,47 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     return is_tok, best_len, best_dist
 
 
+@functools.lru_cache(maxsize=8)
+def _crc_fold_mats(lane_bytes: int, levels: int) -> np.ndarray:
+    """(levels, 32, 32) f32 GF(2) operators: level k shifts a register past
+    lane_bytes*2^k zero bytes. M[i, j] = bit j of the image of basis i."""
+    from ..ops.checksum import _gf2_matmul, zero_shift_operator
+
+    op = zero_shift_operator(lane_bytes)
+    mats = np.zeros((levels, 32, 32), dtype=np.float32)
+    for k in range(levels):
+        for i in range(32):
+            mats[k, i] = (int(op[i]) >> np.arange(32)) & 1
+        op = _gf2_matmul(op, op)
+    return mats
+
+
+def _device_crc_register(data: jnp.ndarray) -> jnp.ndarray:
+    """Raw CRC register (init 0) of a full padded block, entirely on device:
+    per-lane registers via the MXU bit-matrix (checksum_jax), then a GF(2)
+    tree fold where each level is one tiny (L,32)@(32,32) parity matmul.
+    The host strips padding algebraically (crc_unshift) — no per-lane
+    host work remains."""
+    from .checksum_jax import crc32_lane_registers
+
+    N = data.shape[0]
+    lanes = 1024
+    while lanes > 1 and N % lanes:
+        lanes //= 2
+    regs = crc32_lane_registers(data, lanes=lanes)
+    levels = int(np.log2(lanes))
+    mats = _crc_fold_mats(N // lanes, levels)
+    bits = ((regs[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :])
+            & jnp.uint32(1)).astype(jnp.float32)
+    for k in range(levels):
+        even, odd = bits[0::2], bits[1::2]
+        shifted = jnp.dot(even, jnp.asarray(mats[k]),
+                          preferred_element_type=jnp.float32)
+        bits = ((shifted + odd).astype(jnp.int32) & 1).astype(jnp.float32)
+    w = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits[0].astype(jnp.uint32) * w).astype(jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("depth", "max_dist"))
 def device_tokens(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                   max_dist: int = consts.WINDOW_SIZE):
@@ -233,16 +274,19 @@ def device_tokens(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     return match_and_parse(data, n, depth=depth, max_dist=max_dist)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "cap", "parse_iters", "with_index"))
+@functools.partial(jax.jit, static_argnames=("depth", "cap", "parse_iters",
+                                              "with_index", "check"))
 def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                           cap: int = 0, parse_iters: int = 0,
-                          with_index: bool = False):
-    """v2 block encode. Returns (out_u8[cap], meta_i32[2]=[len, adler]) and,
+                          with_index: bool = False, check: str = "adler"):
+    """v2 block encode. Returns (out_u8[cap], meta_i32[2]=[len, check]) and,
     with ``with_index``, the per-segment bit offsets (every SEG-byte output
     segment starts at a token boundary — the parse restarts per segment —
     so the offsets make self-produced blocks segment-parallel to decode).
-    ``parse_iters`` overrides the parse-doubling iteration count (timing
-    experiments only; fewer than log2(SEG) yields an invalid parse)."""
+    ``check`` selects the meta checksum: "adler" (zlib) or "crc" (gzip; the
+    raw init-0 register of the full padded block — host strips the pad with
+    crc_unshift). ``parse_iters`` overrides the parse-doubling iteration
+    count (timing experiments only; fewer than log2(SEG) is invalid)."""
     N = data.shape[0]
     if cap == 0:
         cap = N + N // 4 + 64
@@ -341,16 +385,20 @@ def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     out_len = total_bytes + 4
     out_u8 = (out[:cap] & 0xFF).astype(jnp.uint8)
 
-    # --- adler32 (int32-safe two-level reduction) -----------------------
-    db = jnp.where(in_range, data.astype(jnp.int32), 0)
-    s = jnp.sum(db)
-    wmod = (jnp.maximum(n - pos_all, 0) % ADLER_MOD).astype(jnp.int32)
-    group = jnp.sum((db * wmod).reshape(-1, 64), axis=1) % ADLER_MOD
-    w = jnp.sum(group) % ADLER_MOD
-    a = (1 + s) % ADLER_MOD
-    b = (n % ADLER_MOD + w) % ADLER_MOD
-    adler = (b.astype(jnp.uint32) << 16) | a.astype(jnp.uint32)
-    meta = jnp.stack([out_len.astype(jnp.int32), adler.astype(jnp.int32)])
+    # --- block checksum ---------------------------------------------------
+    if check == "crc":
+        chk = _device_crc_register(data)
+    else:
+        # adler32 (int32-safe two-level reduction)
+        db = jnp.where(in_range, data.astype(jnp.int32), 0)
+        s = jnp.sum(db)
+        wmod = (jnp.maximum(n - pos_all, 0) % ADLER_MOD).astype(jnp.int32)
+        group = jnp.sum((db * wmod).reshape(-1, 64), axis=1) % ADLER_MOD
+        w = jnp.sum(group) % ADLER_MOD
+        a = (1 + s) % ADLER_MOD
+        b = (n % ADLER_MOD + w) % ADLER_MOD
+        chk = (b.astype(jnp.uint32) << 16) | a.astype(jnp.uint32)
+    meta = jnp.stack([out_len.astype(jnp.int32), chk.astype(jnp.int32)])
     if with_index:
         seg_bits = off_f0.reshape(-1, SEG)[:, 0]  # bit offset of each segment
         return out_u8, meta, seg_bits

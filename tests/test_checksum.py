@@ -7,6 +7,7 @@ import pathlib
 import sys
 import zlib
 
+import numpy as np
 import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
@@ -49,3 +50,19 @@ def test_corpus_files():
     data = (pathlib.Path(__file__).parent / "data" / "alice29.txt").read_bytes()
     assert ck.adler32(data) == zlib.adler32(data)
     assert ck.crc32(data) == zlib.crc32(data)
+
+
+@pytest.mark.parametrize("n,pad", [(4096, 0), (4096, 123), (1 << 15, 7)])
+def test_device_crc_register_fold(n, pad):
+    """Kernel-side GF(2) lane fold == zlib.crc32 (pad stripped on host)."""
+    import jax.numpy as jnp
+
+    from compu_tpu.kernels.deflate_jax_v2 import _device_crc_register
+
+    rng = np.random.default_rng(n + pad)
+    data = rng.integers(0, 256, n, dtype=np.uint8)
+    padded = np.concatenate([data[: n - pad], np.zeros(pad, np.uint8)])
+    reg = int(np.asarray(_device_crc_register(jnp.asarray(padded))))
+    reg = ck.crc_shift(0xFFFFFFFF, n) ^ reg
+    reg = ck.crc_unshift(reg, pad)
+    assert (reg ^ 0xFFFFFFFF) == zlib.crc32(bytes(data[: n - pad]))
