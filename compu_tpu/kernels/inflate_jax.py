@@ -5,9 +5,11 @@ segment's first token begins at a known bit offset (exported via
 ``with_index``). Decode then runs one VPU lane per segment in lockstep:
 
 * phase 1 — token scan: every active lane decodes one token per step
-  (windows via 4 tiny byte-gathers; fixed-Huffman symbol attributes via
-  one-hot MXU matmuls against 512/32-entry attribute tables), recording
-  (start, kind, byte, len, dist) token rows;
+  (a 32-bit funnel-shift window from two u32 gathers serves both the
+  lit/len and dist lookups — a full match token is exactly <= 32 bits;
+  symbol attributes come from 512/32-entry tables), recording
+  (start, kind, byte, len, dist) token rows; the loop exits as soon as
+  every lane finished its segment;
 * expansion — per-position token ids by boundary scatter + row cumsum;
   each position's copy source becomes a single absolute position
   ``src = match_start - dist + (rel mod dist)`` (the mod folds overlapping
@@ -98,31 +100,34 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
     Returns (out u8[B*n_out], ok i32[1]).
     """
     B, CAP = comps.shape
+    assert CAP % 4 == 0, "compressed capacity must be u32-aligned"
     N = n_out
     S = N // SEG
     L = B * S
     lit_t = jnp.asarray(_LIT_ATTRS)
     dist_t = jnp.asarray(_DIST_ATTRS)
-    flat_comp = comps.reshape(B * CAP)
+    # u32 view of the bitstream (LSB-first bits, little-endian bytes), so a
+    # token window is ONE funnel shift from two word gathers. A full match
+    # token is at most 9+5+5+13 = 32 bits, so one 32-bit window serves both
+    # the lit/len and the dist lookups of a step.
+    c4 = comps.reshape(B * CAP // 4, 4).astype(jnp.uint32)
+    comp32 = c4[:, 0] | (c4[:, 1] << 8) | (c4[:, 2] << 16) | (c4[:, 3] << 24)
     lane = jnp.arange(L, dtype=jnp.int32)
     blk = lane // S
     seg = lane % S
     target = jnp.clip(ns[blk] - seg * SEG, 0, SEG)
-    comp_base = blk * CAP
+    bit_base = blk * (CAP * 8)
 
-    def window(bit):
-        byte = comp_base + (bit >> 3)
-        b0 = flat_comp[byte].astype(jnp.uint32)
-        b1 = flat_comp[byte + 1].astype(jnp.uint32)
-        b2 = flat_comp[byte + 2].astype(jnp.uint32)
-        b3 = flat_comp[byte + 3].astype(jnp.uint32)
-        w = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
-        return w >> (bit & 7).astype(jnp.uint32)
-
-    def step(t, carry):
-        bit, outp, t_start, t_pack, t_dist, bad = carry
+    def step(carry):
+        t, bit, outp, t_rec, bad = carry
         active = outp < target
-        w = window(bit)
+        gbit = bit_base + bit
+        q = gbit >> 5
+        sh = (gbit & 31).astype(jnp.uint32)
+        lo = comp32[q]
+        hi = comp32[q + 1]
+        w = (lo >> sh) | jnp.where(sh == 0, jnp.uint32(0),
+                                   hi << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
         idx9 = (w & 511).astype(jnp.int32)
         a = _onehot_lookup(idx9, lit_t)
         kind = a[:, 0].astype(jnp.int32)
@@ -133,13 +138,13 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
         lextra = ((w >> clen.astype(jnp.uint32)).astype(jnp.int32)) & ((1 << lxb) - 1)
         mlen = lbase + lextra
         used = clen + lxb
-        w2 = window(bit + used)
-        idx5 = (w2 & 31).astype(jnp.int32)
+        wd = w >> used.astype(jnp.uint32)
+        idx5 = (wd & 31).astype(jnp.int32)
         d = _onehot_lookup(idx5, dist_t)
         dbase = d[:, 0].astype(jnp.int32)
         dxb = d[:, 1].astype(jnp.int32)
         dvalid = d[:, 2].astype(jnp.int32)
-        dist = dbase + (((w2 >> 5).astype(jnp.int32)) & ((1 << dxb) - 1))
+        dist = dbase + (((wd >> 5).astype(jnp.int32)) & ((1 << dxb) - 1))
         dbits = 5 + dxb
 
         is_lit = active & (kind == 0)
@@ -148,33 +153,40 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
         advance = jnp.where(is_lit, clen, jnp.where(is_match, used + dbits, 0))
         outlen = jnp.where(is_lit, 1, jnp.where(is_match, mlen, 0))
 
-        # Token records live as (SEG, L): writing step t is one contiguous
-        # ROW update (minor-axis column updates force strided copies).
-        t_start = jax.lax.dynamic_update_slice(
-            t_start, jnp.where(active, outp, SEG)[None, :], (t, 0)
+        # ONE packed u32 record per token — start (8b) | byte+1 (9b,
+        # 0 = match) | dist-1 (15b) — so expansion needs a single gather.
+        # Records live as (SEG, L): writing step t is one contiguous ROW
+        # update (minor-axis column updates force strided copies).
+        pack = jnp.where(is_lit, byte + 1, 0)
+        rec = (
+            jnp.where(active, outp, SEG).astype(jnp.uint32)
+            | (pack.astype(jnp.uint32) << 8)
+            | ((jnp.maximum(dist, 1) - 1).astype(jnp.uint32) << 17)
         )
-        pack = jnp.where(is_lit, byte, -1)  # literal byte, or -1 for match
-        t_pack = jax.lax.dynamic_update_slice(t_pack, pack[None, :], (t, 0))
-        t_dist = jax.lax.dynamic_update_slice(t_dist, dist[None, :], (t, 0))
-        return (bit + advance, outp + outlen, t_start, t_pack, t_dist, bad)
+        t_rec = jax.lax.dynamic_update_slice(t_rec, rec[None, :], (t, 0))
+        return (t + 1, bit + advance, outp + outlen, t_rec, bad)
+
+    def not_done(carry):
+        t, bit, outp, t_rec, bad = carry
+        # Stop as soon as every lane has produced its segment (token counts
+        # per segment are data-dependent; all-literal segments need SEG
+        # steps, compressible ones far fewer).
+        return (t < SEG) & jnp.any(outp < target)
 
     init = (
+        jnp.int32(0),
         seg_bits.reshape(L).astype(jnp.int32),
         jnp.zeros(L, jnp.int32),
-        jnp.full((SEG, L), SEG, jnp.int32),
-        jnp.zeros((SEG, L), jnp.int32),
-        jnp.zeros((SEG, L), jnp.int32),
+        jnp.full((SEG, L), SEG, jnp.uint32),
         jnp.zeros(L, dtype=bool),
     )
-    bit, outp, t_start, t_pack, t_dist, bad = jax.lax.fori_loop(0, SEG, step, init)
-    # Back to lane-major for the expansion phase.
-    t_start = t_start.T
-    t_pack = t_pack.T
-    t_dist = t_dist.T
+    _, bit, outp, t_rec, bad = jax.lax.while_loop(not_done, step, init)
+    t_rec = t_rec.T  # lane-major for the expansion phase
     ok = jnp.all(outp == target) & jnp.logical_not(jnp.any(bad))
 
     # --- expansion: per-position token id ------------------------------
     NT = B * N
+    t_start = (t_rec & jnp.uint32(0xFF)).astype(jnp.int32)  # (L, SEG)
     lane_out_base = lane * SEG  # == flat output offset of the lane's segment
     flat_start = (lane_out_base[:, None] + t_start).reshape(-1)
     boundary = jnp.zeros(NT + SEG, jnp.int32).at[
@@ -185,36 +197,49 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
         (lane[:, None] * SEG + tokid_in_lane).reshape(-1), 0, L * SEG - 1
     )
 
-    start_of = flat_start[tokid_flat]
-    pack_of = t_pack.reshape(-1)[tokid_flat]
-    dist_of = jnp.maximum(t_dist.reshape(-1)[tokid_flat], 1)
+    rec_of = t_rec.reshape(-1)[tokid_flat]  # the ONE expansion gather
+    pack_of = ((rec_of >> 8) & jnp.uint32(0x1FF)).astype(jnp.int32)  # byte+1
+    dist_of = ((rec_of >> 17) & jnp.uint32(0x7FFF)).astype(jnp.int32) + 1
 
     gp = jnp.arange(NT, dtype=jnp.int32)
+    # A token's lane is its position's lane (tokens never cross segments),
+    # so the global start comes from the record, not a second gather.
+    start_of = (gp & ~(SEG - 1)) + (rec_of & jnp.uint32(0xFF)).astype(jnp.int32)
     rel = gp - start_of
-    is_lit_pos = pack_of >= 0
-    src = jnp.where(is_lit_pos, gp, start_of - dist_of + (rel % dist_of))
-    src = jnp.clip(src, 0, NT - 1)
+    is_lit_pos = pack_of > 0
+    # Signed roots: resolved positions carry -(byte+1); unresolved carry a
+    # source position. Doubling then needs exactly one gather per round and
+    # the final bytes fall out with no extra gather.
+    src = start_of - dist_of + (rel % dist_of)
+    root = jnp.where(is_lit_pos, -pack_of, jnp.clip(src, 0, NT - 1))
 
     # --- phase 2: pointer doubling to literal roots --------------------
-    # Literals are fixpoints, so composing the source map with itself
-    # reaches every chain's root; the while_loop exits as soon as all
-    # valid positions have literal roots (typical depth is small).
+    # Literals are fixpoints (negative), so composing the source map with
+    # itself reaches every chain's root; exits as soon as all valid
+    # positions are resolved (typical depth is small).
     valid = (gp % N) < ns[gp // N]
     max_iters = max(1, int(np.ceil(np.log2(max(NT, 2)))))
 
     def not_done(carry):
-        root, it = carry
-        unresolved = jnp.any(jnp.where(valid, jnp.logical_not(is_lit_pos[root]), False))
+        root, unresolved, it = carry
         return unresolved & (it < max_iters)
 
     def advance(carry):
-        root, it = carry
-        return root[root], it + 1
+        root, _, it = carry
+        # Two hops per round, and the continue-flag is computed here so the
+        # loop condition is a scalar read, not another 4M-element pass.
+        hop = root[jnp.maximum(root, 0)]
+        root = jnp.where(root >= 0, hop, root)
+        hop = root[jnp.maximum(root, 0)]
+        root = jnp.where(root >= 0, hop, root)
+        return root, jnp.any((root >= 0) & valid), it + 1
 
-    root, _ = jax.lax.while_loop(not_done, advance, (src, jnp.int32(0)))
+    root, _, _ = jax.lax.while_loop(
+        not_done, advance, (root, jnp.any((root >= 0) & valid), jnp.int32(0))
+    )
 
-    out = jnp.where(is_lit_pos, pack_of, pack_of[root]).astype(jnp.uint8)
-    ok = ok & jnp.all(jnp.where(valid, is_lit_pos[root], True))
+    out = (jnp.where(root < 0, -root, 1) - 1).astype(jnp.uint8)
+    ok = ok & jnp.all(jnp.where(valid, root < 0, True))
     return out, jnp.where(ok, 1, 0).astype(jnp.int32).reshape(1)
 
 
