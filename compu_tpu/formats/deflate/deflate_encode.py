@@ -147,6 +147,64 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
     return lens, dists
 
 
+def find_matches_k(data: np.ndarray, level: int, max_dist: int, K: int = 3,
+                   depth: int = 0, deflate_heuristics: bool = True):
+    """Pareto match candidates per position: up to K (length, distance)
+    pairs. The chain walk visits candidates nearest-first, so every strict
+    length improvement is pareto-optimal (longer but farther); slots fill
+    in discovery order and slot K-1 keeps the longest. Cost-model parses
+    (zstd/brotli optimal levels) use the shorter-but-closer candidates when
+    offset bits beat match-length gains. ``depth`` overrides the level
+    ladder (btopt-style deep walks); ``deflate_heuristics=False`` keeps
+    short far matches (FSE/repeat-offset formats price them correctly in
+    the DP instead of pre-dropping them)."""
+    n = len(data)
+    lens_k = np.zeros((n, K), dtype=np.int64)
+    dists_k = np.zeros((n, K), dtype=np.int64)
+    if n < consts.MIN_MATCH + 1:
+        return lens_k, dists_k
+    u64 = _build_u64_view(data, consts.MAX_MATCH + 16)
+    limit = np.minimum(consts.MAX_MATCH, n - np.arange(n))
+    m = n - 2
+    v = (
+        data[:m].astype(np.uint32)
+        | (data[1 : m + 1].astype(np.uint32) << np.uint32(8))
+        | (data[2 : m + 2].astype(np.uint32) << np.uint32(16))
+    )
+    h = ((v * np.uint32(2654435761)) >> np.uint32(16)).astype(np.uint32)
+    order = np.argsort(h, kind="stable")
+    prev = np.full(m, -1, dtype=np.int64)
+    same = h[order[1:]] == h[order[:-1]]
+    prev[order[1:][same]] = order[:-1][same]
+
+    depth = depth or LEVEL_DEPTH[min(level, 9)]
+    nice = LEVEL_NICE[min(level, 9)]
+    pos_all = np.arange(m)
+    cand = prev
+    best_len = np.zeros(m, dtype=np.int64)
+    cnt = np.zeros(m, dtype=np.int64)
+    for _ in range(depth):
+        valid = (cand >= 0) & (pos_all - cand <= max_dist)
+        idx = np.nonzero(valid & (best_len < nice))[0]
+        if idx.size == 0:
+            break
+        l = _match_lengths(u64, idx, cand[idx], limit[idx])
+        better = l > best_len[idx]
+        upd = idx[better]
+        best_len[upd] = l[better]
+        slot = np.minimum(cnt[upd], K - 1)
+        lens_k[upd, slot] = l[better]
+        dists_k[upd, slot] = upd - cand[upd]
+        cnt[upd] += 1
+        cand = np.where(cand >= 0, prev[np.maximum(cand, 0)], -1)
+    if deflate_heuristics:
+        # zlib "too far" heuristic per slot.
+        bad = (lens_k == consts.MIN_MATCH) & (dists_k > 4096)
+        lens_k[bad] = 0
+        dists_k[bad] = 0
+    return lens_k, dists_k
+
+
 def greedy_cover(nxt: np.ndarray) -> np.ndarray:
     """Token start positions: the path 0 → nxt[0] → … → n, extracted with
     pointer doubling (after k rounds the path's first 2^k nodes are marked

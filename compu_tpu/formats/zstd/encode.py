@@ -61,21 +61,301 @@ def _sequences_from_tokens(data, tok_pos, tok_len, tok_dist):
     return bytes(lits), seqs
 
 
-def _literals_section(lits: bytes) -> bytes:
-    """Literals section: huffman when profitable, else raw."""
+# --- zstd-native optimal parse (btopt-style squeeze) -----------------------
+# Match lengths 3..258 -> ML code / extra bits (the shared matcher caps at
+# DEFLATE's 258; longer runs are recovered by the same-distance merge above).
+_ML_CODE_LEN = np.zeros(259, dtype=np.int64)
+for _l in range(3, 259):
+    _ML_CODE_LEN[_l] = T.ml_code(_l)
+_ML_XBITS_LEN = T.ML_BITS[_ML_CODE_LEN]
+# Candidate sublengths: every length <= 67 (cost[i+l] varies within a code
+# bucket even when the code cost doesn't), then the code-base boundaries.
+_ML_SUBLENS = sorted(set(list(range(3, 68)) + [int(b) for b in T.ML_BASE if b <= 258]))
+
+
+def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
+                         max_dist: int):
+    """Iterated cost-model parse with zstd-native prices: literal cost from
+    an 11-bit-capped Huffman estimate, match cost = ML code FSE cost + extra
+    bits + OF code cost + offset bits + amortized LL channel cost. Two
+    Zopfli-style rounds (stats from the previous parse). ``full`` includes
+    ``hist_len`` window bytes from previous blocks; tokens are returned for
+    the region past the history (distances may reach into it — RFC 8878
+    windows span block boundaries)."""
+    from ...ops.huffman import length_limited_lengths
+    from ..deflate.deflate_encode import _greedy_tokens, find_matches_k
+
+    # Effort ladder for the high strategies: deeper chain walks + more
+    # pareto slots (the btopt/btultra analogue; depth is the dominant
+    # ratio lever — PLAN.md measurements).
+    if level >= 22:
+        K, depth = 5, 2048
+    elif level >= 19:
+        K, depth = 5, 512
+    elif level >= 15:
+        K, depth = 5, 128
+    elif level >= 12:
+        K, depth = 3, 64
+    else:
+        K, depth = 1, 0
+    lens_fk, dists_fk = find_matches_k(
+        full, min(level, 9), max_dist, K=K, depth=depth,
+        deflate_heuristics=False,
+    )
+    data = full[hist_len:]
+    lens_k = np.asarray(lens_fk[hist_len:], dtype=np.int64)
+    dists_k = np.asarray(dists_fk[hist_len:], dtype=np.int64)
+    # Longest candidate (slot of max length) seeds the greedy parse.
+    top = np.argmax(lens_k, axis=1)
+    rows = np.arange(len(lens_k))
+    lens = lens_k[rows, top]
+    dists = dists_k[rows, top]
+    n = len(data)
+    tok = _greedy_tokens(data, lens, dists)
+    if n <= 16:
+        return tok
+    lens_kl = lens_k.tolist()
+    dists_kl = dists_k.tolist()
+    data_l = data.tolist()
+    # Offset codes per candidate (value = offset+3; repeat slots are priced
+    # by the channel stats, not per-position).
+    blen = np.vectorize(lambda v: int(v).bit_length(), otypes=[np.int64])
+    occ_k = blen(np.maximum(dists_k, 1) + 3) - 1
+
+    def chan_cost(codes, nsym):
+        f = np.bincount(codes, minlength=nsym).astype(np.float64)
+        tot = max(f.sum(), 1.0)
+        return np.minimum(np.where(f > 0, -np.log2(np.maximum(f, 1) / tot), 15.0), 15.0)
+
+    rounds = 4 if level >= 22 else (3 if level >= 15 else 2)
+    for _ in range(rounds):
+        lits, seqs = _sequences_from_tokens(data, *tok)
+        if not seqs:
+            break
+        seqs = _promote_rep_offsets(full, hist_len, seqs)
+        lf = np.bincount(np.frombuffer(lits, np.uint8), minlength=256)
+        if len(lits) >= 32:
+            ll_ = length_limited_lengths(lf, 11).astype(np.float64)
+            ll_[ll_ == 0] = 12.0
+        else:
+            ll_ = np.full(256, 8.0)
+        litcost = ll_.tolist()
+        of_codes = np.int64([_offset_code(v) for v in _resolve_offset_values(seqs)])
+        ml_codes = np.int64([T.ml_code(ml) for _, _, ml in seqs])
+        ll_codes = np.int64([T.ll_code(ll) for ll, _, _ in seqs])
+        ofc = chan_cost(of_codes, 32)
+        mlc = chan_cost(ml_codes, 53)
+        llc = chan_cost(ll_codes, 36)
+        # LL channel split: each sequence pays the ll=0 code (the common
+        # back-to-back-match case); the surplus (nonzero-run codes + extra
+        # bits) is amortized over the literals that create those runs.
+        # Charging the channel MEAN per match instead overprices matches
+        # and was worth ~1% on text (PLAN.md).
+        llc0 = float(llc[0])
+        ll_tot = float(np.sum(llc[ll_codes] + T.LL_BITS[ll_codes]))
+        lit_extra = max(0.0, (ll_tot - len(seqs) * llc0) / max(len(lits), 1))
+        litcost = [c + lit_extra for c in litcost]
+        ll_avg = llc0
+        mlcost_len = (mlc[_ML_CODE_LEN[3:]] + _ML_XBITS_LEN[3:]).tolist()  # [l-3]
+        dc_k = (ofc[np.clip(occ_k, 0, 31)] + occ_k + ll_avg).tolist()  # (n, K)
+        # Repeat-offset match price: OF value 1 -> code 0, zero extra bits.
+        rep_dc = float(ofc[0]) + ll_avg
+        full_l = full.tolist()
+        INF = 1e18
+        # Forward DP with arrival rep0 state (btultra-style): a position's
+        # best path carries the rep0 its predecessor match established, and
+        # a same-distance (rep0) match is offered as an extra candidate
+        # priced at the ~1-bit repeat code — this is what makes short
+        # matches profitable and is where libzstd's parse wins on text.
+        cost = [INF] * (n + 1)
+        cost[0] = 0.0
+        rep0 = [1] * (n + 1)
+        plen = [0] * (n + 1)
+        pdist = [0] * (n + 1)
+
+        def relax(j, c, r, l, d):
+            if c < cost[j]:
+                cost[j] = c
+                rep0[j] = r
+                plen[j] = l
+                pdist[j] = d
+
+        for i in range(n):
+            ci = cost[i]
+            r0 = rep0[i]
+            # literal step
+            relax(i + 1, ci + litcost[data_l[i]], r0, 0, 0)
+            # rep0 match measured on the fly (may reach into the history)
+            src = hist_len + i - r0
+            if src >= 0:
+                dst = hist_len + i
+                lmax = min(258, n - i)
+                l = 0
+                while l < lmax and full_l[src + l] == full_l[dst + l]:
+                    l += 1
+                if l >= 3:
+                    dc = rep_dc
+                    relax(i + l, ci + mlcost_len[l - 3] + dc, r0, l, r0)
+                    for lb in _ML_SUBLENS:
+                        if lb >= l:
+                            break
+                        relax(i + lb, ci + mlcost_len[lb - 3] + dc, r0, lb, r0)
+            # finder candidates (pareto slots, nearest-first)
+            row_l = lens_kl[i]
+            row_d = dists_kl[i]
+            row_c = dc_k[i]
+            prev_l = 2  # shorter sublengths are covered by closer slots
+            for k in range(K):
+                L = row_l[k]
+                if L < 3 or L <= prev_l:
+                    continue
+                D = row_d[k]
+                dc = row_c[k]
+                relax(i + L, ci + mlcost_len[L - 3] + dc, D, L, D)
+                for lb in _ML_SUBLENS:
+                    if lb >= L:
+                        break
+                    if lb <= prev_l:
+                        continue
+                    relax(i + lb, ci + mlcost_len[lb - 3] + dc, D, lb, D)
+                prev_l = L
+        # Backtrack the chosen cover.
+        pos_r, tl_r, td_r = [], [], []
+        j = n
+        while j > 0:
+            l = plen[j]
+            if l:
+                pos_r.append(j - l)
+                tl_r.append(l)
+                td_r.append(pdist[j])
+                j -= l
+            else:
+                pos_r.append(j - 1)
+                tl_r.append(0)
+                td_r.append(0)
+                j -= 1
+        tok = (
+            np.asarray(pos_r[::-1], dtype=np.int64),
+            np.asarray(tl_r[::-1], dtype=np.int64),
+            np.asarray(td_r[::-1], dtype=np.int64),
+        )
+    return tok
+
+
+def _promote_rep_offsets(full: np.ndarray, hist_len: int, seqs):
+    """Swap a match's offset for a repeat-history distance when the same
+    bytes exist there (elementwise compare on the true data is exact even
+    for overlapping copies): an OF code drops from ~oc+4 bits to ~1-3.
+    Tracks the 3-slot history exactly as the decoder does, including the
+    ll==0 slot rotation (decode.py::_execute_sequences)."""
+    rep = [1, 4, 8]
+    pos = hist_len
+    out = []
+    nfull = len(full)
+    for ll, off, ml in seqs:
+        pos += ll
+        new_off = off
+        cands = (rep[0], rep[1], rep[2]) if ll != 0 else (rep[1], rep[2], rep[0] - 1)
+        for rd in cands:
+            if rd == off:
+                break  # already coded as a (cheaper or equal) repeat
+            if rd <= 0 or pos - rd < 0 or pos + ml > nfull:
+                continue
+            if np.array_equal(full[pos - rd : pos - rd + ml], full[pos : pos + ml]):
+                new_off = rd
+                break
+        out.append((ll, new_off, ml))
+        # History update, identical to _resolve_offset_values/decoder.
+        if ll != 0:
+            if new_off == rep[0]:
+                val = 1
+            elif new_off == rep[1]:
+                val = 2
+            elif new_off == rep[2]:
+                val = 3
+            else:
+                val = new_off + 3
+        else:
+            if new_off == rep[1]:
+                val = 1
+            elif new_off == rep[2]:
+                val = 2
+            elif new_off == rep[0] - 1 and new_off > 0:
+                val = 3
+            else:
+                val = new_off + 3
+        if val > 3:
+            rep = [new_off, rep[0], rep[1]]
+        else:
+            idx = val - 1 + (1 if ll == 0 else 0)
+            if idx == 1:
+                rep = [new_off, rep[0], rep[2]]
+            elif idx >= 2:
+                rep = [new_off, rep[0], rep[1]]
+        pos += ml
+    return out
+
+
+def _tokens_with_history(full: np.ndarray, hist_len: int, level: int,
+                         max_dist: int):
+    """Token cover of ``full[hist_len:]`` with matches allowed to reach into
+    the history prefix (cross-block window, RFC 8878 §3.1.1.2.2)."""
+    if level >= 9:
+        return _zstd_optimal_tokens(full, hist_len, level, max_dist)
+    from ..deflate.deflate_encode import _greedy_tokens, find_matches
+
+    lens_f, dists_f = find_matches(full, level, ZlibStrategy.Default, max_dist)
+    data = full[hist_len:]
+    return _greedy_tokens(data, lens_f[hist_len:], dists_f[hist_len:])
+
+
+def _literals_section(lits: bytes, reuse: dict | None = None) -> bytes:
+    """Literals section: huffman when profitable, else raw. With ``reuse``
+    (stream-state dict), a previous block's tree may be reused treeless
+    (Literals_Block_Type 3 — no table description) when it covers the
+    current bytes and beats a fresh tree + description."""
     n = len(lits)
     if n >= 32:
         try:
             freqs = np.bincount(np.frombuffer(lits, np.uint8), minlength=256)
             enc = HufEncoder(freqs)
             desc = enc.describe()
+            lit_type = 2
+            prev = reuse.get("huf") if reuse else None
+            if prev is not None:
+                covered = all(
+                    s <= prev.max_symbol and prev.nbits[s] > 0
+                    for s in np.nonzero(freqs)[0]
+                )
+                if covered:
+                    prev_bits = int(np.sum(freqs[: prev.max_symbol + 1]
+                                           * prev.nbits))
+                    new_bits = len(desc) * 8 + int(np.sum(
+                        freqs * np.where(
+                            np.arange(256) <= enc.max_symbol,
+                            np.concatenate([
+                                enc.nbits,
+                                np.zeros(256 - enc.max_symbol - 1, np.int32),
+                            ]),
+                            0,
+                        )
+                    ))
+                    if prev_bits <= new_bits:
+                        enc = prev
+                        desc = b""
+                        lit_type = 3
+            def commit():
+                if reuse is not None and lit_type == 2:
+                    reuse["huf"] = enc
+
             if n <= 1023:
                 stream = enc.encode_stream(lits)
                 payload = desc + stream
                 comp = len(payload)
                 if comp < n and comp <= 1023:
                     # size_format 00: single stream, 10+10 bits
-                    b0 = 2 | (0 << 2) | ((n & 0xF) << 4)
+                    commit()
+                    b0 = lit_type | (0 << 2) | ((n & 0xF) << 4)
                     b1 = (n >> 4) | ((comp & 3) << 6)
                     b2 = comp >> 2
                     return bytes([b0, b1, b2]) + payload
@@ -93,15 +373,16 @@ def _literals_section(lits: bytes) -> bytes:
                 payload = desc + jump + b"".join(streams)
                 comp = len(payload)
                 if comp < n:
+                    commit()
                     if n <= 16383 and comp <= 16383:
                         # size_format 10: 14+14 bits
-                        b0 = 2 | (2 << 2) | ((n & 0xF) << 4)
+                        b0 = lit_type | (2 << 2) | ((n & 0xF) << 4)
                         b1 = (n >> 4) & 0xFF
                         b2 = ((n >> 12) & 3) | ((comp & 0x3F) << 2)
                         b3 = (comp >> 6) & 0xFF
                         return bytes([b0, b1, b2, b3]) + payload
                     # size_format 11: 18+18 bits
-                    b0 = 2 | (3 << 2) | ((n & 0xF) << 4)
+                    b0 = lit_type | (3 << 2) | ((n & 0xF) << 4)
                     b1 = (n >> 4) & 0xFF
                     b2 = ((n >> 12) & 0x3F) | ((comp & 3) << 6)
                     b3 = (comp >> 2) & 0xFF
@@ -124,65 +405,67 @@ def _offset_code(offset_value: int) -> int:
     return offset_value.bit_length() - 1
 
 
-class _SeqTable:
-    """One sequence channel's chosen coding: RLE / predefined / custom."""
+def _fse_bits(freqs, norm, log) -> float:
+    """Estimated FSE bits for ``freqs`` occurrences under a normalized
+    table (−1 entries are the RFC 'less than 1' probability ≈ 2^-log)."""
+    narr = np.asarray(norm, dtype=np.float64)
+    p = np.where(narr == -1, 1.0, narr)
+    nb = log - np.log2(np.maximum(p, 1.0))
+    f = np.asarray(freqs[: len(narr)], dtype=np.float64)
+    if np.any((f > 0) & (p <= 0)):
+        return float("inf")
+    return float(np.sum(f * nb))
 
-    def __init__(self, codes, default_dist, default_log, max_symbol, max_log):
+
+class _SeqTable:
+    """One sequence channel's chosen coding: RLE / predefined / custom /
+    repeat (mode 3 reuses the previous block's table — zero header). The
+    choice minimizes estimated bits (header + payload); ``reuse`` carries
+    the cross-block stream state keyed by channel name."""
+
+    def __init__(self, codes, default_dist, default_log, max_symbol, max_log,
+                 reuse: dict | None = None, chan: str | None = None):
         self.codes = codes
         uniq = set(codes)
-        if len(uniq) == 1:
-            self.mode = 1  # RLE
-            self.header = bytes([codes[0]])
-            self.enc = None
-            return
         freqs = np.bincount(np.asarray(codes, dtype=np.int64), minlength=max_symbol + 1)
+        cands = []  # (bits, mode, header, enc, new_state)
+        if len(uniq) == 1:
+            cands.append((8.0, 1, bytes([codes[0]]), None, None))
         norm, log = normalize_counts(freqs, len(codes), max_log)
-        use_custom = norm is not None
-        if use_custom:
+        if norm is not None:
             try:
                 enc = FseEncodeTable(norm, log)
                 header = write_norm_counts(norm, log)
+                cands.append((
+                    len(header) * 8 + _fse_bits(freqs, norm, log),
+                    2, header, enc, (enc, norm, log),
+                ))
             except CodecFailure:
-                use_custom = False
-        if use_custom and len(header) < 32:
-            self.mode = 2
-            self.header = header
-            self.enc = enc
-            return
-        # Predefined fallback: valid only if every code is representable
-        # with nonzero probability in the default distribution.
-        ok = all(c < len(default_dist) and default_dist[c] != 0 for c in uniq)
-        if not ok:
-            # Force custom even if the header is large.
-            if norm is None:
-                raise CodecFailure(299, "cannot code sequence channel")
-            self.mode = 2
-            self.header = write_norm_counts(norm, log)
-            self.enc = FseEncodeTable(norm, log)
-            return
-        self.mode = 0
-        self.header = b""
-        self.enc = FseEncodeTable(default_dist, default_log)
+                pass
+        if all(c < len(default_dist) and default_dist[c] != 0 for c in uniq):
+            denc = FseEncodeTable(default_dist, default_log)
+            cands.append((
+                _fse_bits(freqs, default_dist, default_log),
+                0, b"", denc, (denc, default_dist, default_log),
+            ))
+        prev = reuse.get(chan) if reuse else None
+        if prev is not None:
+            penc, pnorm, plog = prev
+            if all(c < len(pnorm) and pnorm[c] != 0 for c in uniq):
+                cands.append((_fse_bits(freqs, pnorm, plog), 3, b"", penc, prev))
+        if not cands:
+            raise CodecFailure(299, "cannot code sequence channel")
+        bits, self.mode, self.header, self.enc, new_state = min(
+            cands, key=lambda t: t[0]
+        )
+        if reuse is not None:
+            reuse[chan] = new_state  # RLE clears it (repeat-after-RLE unsupported)
 
 
-def _sequences_section(seqs) -> bytes:
-    n = len(seqs)
-    out = bytearray()
-    if n < 128:
-        out.append(n)
-    elif n < 0x7F00:
-        out.append((n >> 8) + 128)
-        out.append(n & 0xFF)
-    else:
-        out.append(255)
-        out.append((n - 0x7F00) & 0xFF)
-        out.append((n - 0x7F00) >> 8)
-    if n == 0:
-        return bytes(out)
-
-    ll_codes = [T.ll_code(ll) for ll, _, _ in seqs]
-    # Repeat-offset resolution: mirror the decoder's 3-slot history
-    # (decode.py::_execute_sequences) so recent distances cost ~1 bit.
+def _resolve_offset_values(seqs):
+    """Repeat-offset resolution: mirror the decoder's 3-slot history
+    (decode.py::_execute_sequences) so recent distances cost ~1 bit.
+    Returns the OF *values* (1..3 = repeat slots, else offset+3)."""
     of_values = []
     rep = [1, 4, 8]
     for ll, off, _ in seqs:
@@ -215,12 +498,35 @@ def _sequences_section(seqs) -> bytes:
             elif idx >= 2:
                 rep = [off, rep[0], rep[1]]
             # idx == 0: unchanged
+    return of_values
+
+
+def _sequences_section(seqs, reuse: dict | None = None) -> bytes:
+    n = len(seqs)
+    out = bytearray()
+    if n < 128:
+        out.append(n)
+    elif n < 0x7F00:
+        out.append((n >> 8) + 128)
+        out.append(n & 0xFF)
+    else:
+        out.append(255)
+        out.append((n - 0x7F00) & 0xFF)
+        out.append((n - 0x7F00) >> 8)
+    if n == 0:
+        return bytes(out)
+
+    ll_codes = [T.ll_code(ll) for ll, _, _ in seqs]
+    of_values = _resolve_offset_values(seqs)
     of_codes = [_offset_code(v) for v in of_values]
     ml_codes = [T.ml_code(ml) for _, _, ml in seqs]
 
-    ll_t = _SeqTable(ll_codes, T.LL_DEFAULT_DIST, T.LL_DEFAULT_LOG, T.MAX_LL_SYMBOL, T.MAX_LL_LOG)
-    of_t = _SeqTable(of_codes, T.OF_DEFAULT_DIST, T.OF_DEFAULT_LOG, T.MAX_OF_SYMBOL, T.MAX_OF_LOG)
-    ml_t = _SeqTable(ml_codes, T.ML_DEFAULT_DIST, T.ML_DEFAULT_LOG, T.MAX_ML_SYMBOL, T.MAX_ML_LOG)
+    ll_t = _SeqTable(ll_codes, T.LL_DEFAULT_DIST, T.LL_DEFAULT_LOG,
+                     T.MAX_LL_SYMBOL, T.MAX_LL_LOG, reuse, "ll")
+    of_t = _SeqTable(of_codes, T.OF_DEFAULT_DIST, T.OF_DEFAULT_LOG,
+                     T.MAX_OF_SYMBOL, T.MAX_OF_LOG, reuse, "of")
+    ml_t = _SeqTable(ml_codes, T.ML_DEFAULT_DIST, T.ML_DEFAULT_LOG,
+                     T.MAX_ML_SYMBOL, T.MAX_ML_LOG, reuse, "ml")
     out.append((ll_t.mode << 6) | (of_t.mode << 4) | (ml_t.mode << 2))
     out.extend(ll_t.header)
     out.extend(of_t.header)
@@ -265,9 +571,12 @@ def _sequences_section(seqs) -> bytes:
 
 
 def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
-                   tokenizer=None) -> bytes:
+                   tokenizer=None, history: bytes = b"",
+                   reuse: dict | None = None) -> bytes:
     """One zstd block body (compressed type), or raw/RLE when better.
-    Returns the full block including its 3-byte header."""
+    Returns the full block including its 3-byte header. ``history`` is the
+    window tail of previous blocks: matches may reference it (the decoder's
+    window spans block boundaries)."""
     n = len(data)
     assert 0 < n <= MAX_BLOCK
 
@@ -281,16 +590,32 @@ def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
     arr = np.frombuffer(data, dtype=np.uint8)
     if tokenizer is not None:
         tok_pos, tok_len, tok_dist = tokenizer(data)
+    elif history:
+        full = np.frombuffer(history + data, dtype=np.uint8)
+        tok_pos, tok_len, tok_dist = _tokens_with_history(
+            full, len(history), level, max_dist
+        )
+    elif level >= 9:
+        tok_pos, tok_len, tok_dist = _zstd_optimal_tokens(arr, 0, level, max_dist)
     else:
         strategy = ZlibStrategy.Default
         tok_pos, tok_len, tok_dist = tokenize(arr, min(level, 9), strategy, max_dist)
     lits, seqs = _sequences_from_tokens(arr, tok_pos, tok_len, tok_dist)
+    if seqs and level >= 5 and tokenizer is None:
+        fullarr = np.frombuffer(history + data, dtype=np.uint8) if history else arr
+        seqs = _promote_rep_offsets(fullarr, len(history), seqs)
+    local = dict(reuse) if reuse is not None else None
     try:
-        body = _literals_section(lits) + _sequences_section(seqs)
+        body = _literals_section(lits, local) + _sequences_section(seqs, local)
     except CodecFailure:
         body = None
     if body is None or len(body) >= n:
+        # Raw block: decoder entropy state is untouched, so drop the
+        # tentative reuse updates.
         return header(0, n) + data
+    if reuse is not None:
+        reuse.clear()
+        reuse.update(local)
     return header(2, len(body)) + body
 
 
@@ -314,6 +639,8 @@ class ZstdStreamEncoder:
     def reset(self) -> None:
         self._hash_buf = bytearray()
         self._blocks: list[bytes] = []
+        self._window = b""
+        self._reuse: dict = {}
 
     def header(self) -> bytes:
         fhd = 0
@@ -333,11 +660,20 @@ class ZstdStreamEncoder:
             # Empty final block (raw, size 0).
             out.extend(struct.pack("<I", 1 | (0 << 1) | 0)[:3])
             return bytes(out)
+        # Cross-block history: matches may reach back through the window
+        # (capped at one MAX_BLOCK of history to bound re-hash cost; the
+        # device tokenizer path stays block-local). Levels <= 4 stay
+        # block-local for speed, like zstd's fast strategies.
+        window_cap = min((1 << self.window_log) - 1, MAX_BLOCK)
+        history = self._window if (self.level >= 5 and self.tokenizer is None) else b""
         blob = compress_block(
             data, self.level,
-            max_dist=min((1 << self.window_log) - 1, MAX_BLOCK),
+            max_dist=min((1 << self.window_log) - 1, len(history) + len(data)),
             tokenizer=self.tokenizer,
+            history=history,
+            reuse=self._reuse,
         )
+        self._window = (self._window + data)[-window_cap:]
         if final:
             blob = bytes([blob[0] | 1]) + blob[1:]
         out.extend(blob)
