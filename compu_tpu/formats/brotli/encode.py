@@ -223,9 +223,16 @@ def _length_code(bases, extras, value):
     return idx
 
 
-def _command_symbol(insert_len: int, copy_len: int):
+def _command_symbol(insert_len: int, copy_len: int, implicit: bool = False):
     ic = _length_code(C.INSERT_BASE, C.INSERT_EXTRA, insert_len)
     cc = _length_code(C.COPY_BASE, C.COPY_EXTRA, copy_len)
+    if implicit:
+        # Command symbols < 128 imply distance = ring[0] with NO distance
+        # symbol at all (RFC 7932 §5): range 0 = (insert 0-7, copy 0-7),
+        # range 1 = (insert 0-7, copy 8-15).
+        assert ic < 8 and cc < 16
+        cmd = ((cc >> 3) << 6) | ((ic & 7) << 3) | (cc & 7)
+        return cmd, ic, cc
     pair = (ic >> 3, cc >> 3)
     try:
         range_idx = _RANGE_PAIRS[pair]
@@ -233,6 +240,52 @@ def _command_symbol(insert_len: int, copy_len: int):
         raise CodecFailure(ERR_ENC, "unencodable insert/copy pair") from None
     cmd = ((range_idx + 2) << 6) | ((ic & 7) << 3) | (cc & 7)
     return cmd, ic, cc
+
+
+def _plan_distances(commands):
+    """Choose each copy's distance coding with the 4-slot ring tracked
+    exactly as the decoder resolves it (decode.py::_resolve_distance):
+
+    * ``("imp",)`` — implicit ring[0] via a command symbol < 128 (free);
+    * ``(dsym, 0, 0)`` for short codes 0-15 (ring slots and ring[0/1]±1..3);
+    * ``(dsym, extra, nbits)`` explicit otherwise.
+
+    Ring updates mirror the decoder: explicit and short codes 1-15 push the
+    distance; code 0 and implicit copies do not."""
+    ring = list(C.INITIAL_DISTANCES)
+    plan = []
+    for _, ins, cl, d in commands:
+        if d is None:
+            plan.append(None)
+            continue
+        ic = _length_code(C.INSERT_BASE, C.INSERT_EXTRA, ins)
+        cc = _length_code(C.COPY_BASE, C.COPY_EXTRA, cl)
+        if d == ring[0] and ic < 8 and cc < 16:
+            plan.append(("imp",))
+            continue
+        sc = None
+        for s in range(4):
+            if d == ring[s]:
+                sc = s
+                break
+        if sc is None:
+            for dsym in range(4, 16):
+                base = ring[0] if dsym < 10 else ring[1]
+                k = dsym - 4 if dsym < 10 else dsym - 10
+                delta = (k >> 1) + 1
+                cand = base + delta if (k & 1) else base - delta
+                if cand == d and cand > 0:
+                    sc = dsym
+                    break
+        if sc is not None:
+            plan.append((sc, 0, 0))
+            if sc != 0:
+                ring = [d] + ring[:3]
+        else:
+            dsym, extra, nbits = _distance_symbol(d)
+            plan.append((dsym, extra, nbits))
+            ring = [d] + ring[:3]
+    return plan
 
 
 def _distance_symbol(distance: int):
@@ -406,8 +459,11 @@ class BrotliStreamEncoder:
             tok_pos, tok_len, tok_dist = self.tokenizer(data)
         else:
             max_dist = min((1 << self.window_bits) - 16, len(data))
+            # Quality 10/11 buy ratio with deep chain walks (the libbrotli
+            # q10/q11 role); the level-9 cost-model DP then parses them.
+            depth = 512 if self.quality >= 11 else (128 if self.quality >= 10 else 0)
             tok_pos, tok_len, tok_dist = tokenize(
-                arr, level, ZlibStrategy.Default, max_dist
+                arr, level, ZlibStrategy.Default, max_dist, depth=depth
             )
 
         # Build command list: (insert literals, copy_len, distance|None).
@@ -442,17 +498,19 @@ class BrotliStreamEncoder:
             commands.append((pending_start, pending, 0, None))
             lit_bytes.extend(data[pending_start : pending_start + pending])
 
-        # Histograms.
+        # Distance coding plan (ring short codes / implicit), then histograms.
+        dist_plan = _plan_distances(commands)
         cmd_syms = []
         dist_syms = []
-        for _, ins, cl, d in commands:
+        for (_, ins, cl, d), plan in zip(commands, dist_plan):
             if d is None:
                 cmd, _, _ = _command_symbol(ins, 2)  # copy ignored at MLEN
                 cmd_syms.append(cmd)
             else:
-                cmd, _, _ = _command_symbol(ins, cl)
+                cmd, _, _ = _command_symbol(ins, cl, implicit=plan[0] == "imp")
                 cmd_syms.append(cmd)
-                dist_syms.append(_distance_symbol(d)[0])
+                if plan[0] != "imp":
+                    dist_syms.append(plan[0])
         cmd_freq = np.bincount(np.asarray(cmd_syms, dtype=np.int64), minlength=C.NUM_COMMAND_SYMBOLS)
         dist_freq = np.bincount(
             np.asarray(dist_syms if dist_syms else [0], dtype=np.int64), minlength=64
@@ -503,11 +561,11 @@ class BrotliStreamEncoder:
         cmd_code.write_description(sink)
         dist_code.write_description(sink)
 
-        for start, ins, cl, d in commands:
+        for (start, ins, cl, d), plan in zip(commands, dist_plan):
             if d is None:
                 cmd, ic, cc = _command_symbol(ins, 2)
             else:
-                cmd, ic, cc = _command_symbol(ins, cl)
+                cmd, ic, cc = _command_symbol(ins, cl, implicit=plan[0] == "imp")
             cmd_code.push_symbol(sink, cmd)
             sink.push(ins - C.INSERT_BASE[ic], C.INSERT_EXTRA[ic])
             sink.push((cl if d is not None else 2) - C.COPY_BASE[cc], C.COPY_EXTRA[cc])
@@ -518,7 +576,7 @@ class BrotliStreamEncoder:
             else:
                 for b in data[start : start + ins]:
                     lit_codes_list[0].push_symbol(sink, b)
-            if d is not None:
-                dsym, extra, nbits = _distance_symbol(d)
+            if d is not None and plan[0] != "imp":
+                dsym, extra, nbits = plan
                 dist_code.push_symbol(sink, dsym)
                 sink.push(extra, nbits)

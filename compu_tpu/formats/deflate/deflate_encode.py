@@ -78,11 +78,12 @@ def _match_lengths(u64: np.ndarray, pos: np.ndarray, cand: np.ndarray, limit: np
 
 
 def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
-                 max_dist: int = consts.WINDOW_SIZE):
+                 max_dist: int = consts.WINDOW_SIZE, depth: int = 0):
     """Best (length, distance) per position. Returns (lens, dists) int64
     arrays; positions without a usable match have len 0. ``max_dist``
     widens the window for formats whose distances exceed DEFLATE's 32 KiB
-    (zstd window_log, brotli window_bits)."""
+    (zstd window_log, brotli window_bits); ``depth`` overrides the level
+    ladder's chain-walk depth (wide-window formats' max-effort modes)."""
     n = len(data)
     lens = np.zeros(n, dtype=np.int64)
     dists = np.zeros(n, dtype=np.int64)
@@ -116,7 +117,7 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
     same = h[order[1:]] == h[order[:-1]]
     prev[order[1:][same]] = order[:-1][same]
 
-    depth = LEVEL_DEPTH[level]
+    depth = depth or LEVEL_DEPTH[level]
     nice = LEVEL_NICE[level]
     pos_all = np.arange(m)
     cand = prev
@@ -226,11 +227,11 @@ def greedy_cover(nxt: np.ndarray) -> np.ndarray:
 
 
 def tokenize(data: np.ndarray, level: int, strategy: ZlibStrategy,
-             max_dist: int = consts.WINDOW_SIZE):
+             max_dist: int = consts.WINDOW_SIZE, depth: int = 0):
     """Full parse: returns (token_pos, tok_len, tok_dist) where tok_len==0
     marks a literal token. Level 9 runs the cost-model optimal parse."""
     n = len(data)
-    lens, dists = find_matches(data, level, strategy, max_dist)
+    lens, dists = find_matches(data, level, strategy, max_dist, depth=depth)
     if level >= 9 and strategy in (ZlibStrategy.Default, ZlibStrategy.Filtered) and n > 16:
         return _optimal_parse(data, lens, dists)
     if LEVEL_LAZY[level] and n > 1:
