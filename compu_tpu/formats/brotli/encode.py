@@ -438,6 +438,10 @@ class BrotliStreamEncoder:
 
     def compress_chunk(self, data: bytes, final: bool) -> bytes:
         if not self.header_done:
+            # One-shot small inputs: WBITS=16 is the shortest window code
+            # (a single 0 bit) and covers every distance the data allows.
+            if final and len(data) <= (1 << 16) and self.window_bits > 16:
+                self.window_bits = 16
             self._write_stream_header()
         if data:
             self._write_data_meta_block(data)

@@ -652,7 +652,12 @@ class ZstdStreamEncoder:
         return struct.pack("<IBB", ZSTD_MAGIC, fhd, wd)
 
     def compress_chunk(self, data: bytes, final: bool) -> bytes:
-        """Compress up to MAX_BLOCK bytes as one frame block."""
+        """Compress up to MAX_BLOCK input bytes as one or more frame blocks.
+
+        High levels split into ~32 KiB blocks: per-block entropy tables
+        adapt locally (the window still spans blocks, and repeat-mode
+        tables / treeless literals reuse state when a block's statistics
+        don't change) — worth ~1% on text vs monolithic 128 KiB blocks."""
         out = bytearray()
         if self.checksum:
             self._hash_buf.extend(data)
@@ -660,6 +665,16 @@ class ZstdStreamEncoder:
             # Empty final block (raw, size 0).
             out.extend(struct.pack("<I", 1 | (0 << 1) | 0)[:3])
             return bytes(out)
+        if self.tokenizer is None and self.level >= 12 and len(data) > 49152:
+            bs = 32768 if self.level >= 15 else 65536
+            for off in range(0, len(data), bs):
+                sub = data[off : off + bs]
+                out.extend(self._compress_one(sub, final and off + bs >= len(data)))
+            return bytes(out)
+        return bytes(self._compress_one(data, final))
+
+    def _compress_one(self, data: bytes, final: bool) -> bytes:
+        out = bytearray()
         # Cross-block history: matches may reach back through the window
         # (capped at one MAX_BLOCK of history to bound re-hash cost; the
         # device tokenizer path stays block-local). Levels <= 4 stay
