@@ -207,10 +207,15 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
     start_of = (gp & ~(SEG - 1)) + (rec_of & jnp.uint32(0xFF)).astype(jnp.int32)
     rel = gp - start_of
     is_lit_pos = pack_of > 0
+    # rel < SEG and dist >= 1, so rel mod dist is exact in f32 (quotient
+    # <= 127, f32 division error < 2^-17 < the 1/dist gap) — integer mod
+    # lowers poorly on the VPU.
+    q = jnp.floor(rel.astype(jnp.float32) / dist_of.astype(jnp.float32))
+    relmod = rel - q.astype(jnp.int32) * dist_of
     # Signed roots: resolved positions carry -(byte+1); unresolved carry a
     # source position. Doubling then needs exactly one gather per round and
     # the final bytes fall out with no extra gather.
-    src = start_of - dist_of + (rel % dist_of)
+    src = start_of - dist_of + relmod
     root = jnp.where(is_lit_pos, -pack_of, jnp.clip(src, 0, NT - 1))
 
     # --- phase 2: pointer doubling to literal roots --------------------
@@ -220,22 +225,52 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
     valid = (gp % N) < ns[gp // N]
     max_iters = max(1, int(np.ceil(np.log2(max(NT, 2)))))
 
+    KSUB = max(SEG, NT // 8)
+
     def not_done(carry):
         root, unresolved, it = carry
-        return unresolved & (it < max_iters)
+        return (unresolved > KSUB) & (it < max_iters)
 
     def advance(carry):
         root, _, it = carry
-        # Two hops per round, and the continue-flag is computed here so the
+        # Two hops per round, and the continue-count is computed here so the
         # loop condition is a scalar read, not another 4M-element pass.
         hop = root[jnp.maximum(root, 0)]
         root = jnp.where(root >= 0, hop, root)
         hop = root[jnp.maximum(root, 0)]
         root = jnp.where(root >= 0, hop, root)
-        return root, jnp.any((root >= 0) & valid), it + 1
+        return root, jnp.sum(((root >= 0) & valid).astype(jnp.int32)), it + 1
 
+    # Full-map doubling only until the unresolved set fits the compaction
+    # budget (typically immediately: most matches point straight into a
+    # literal run), then doubling continues on the compacted subset —
+    # gathers/scatters of NT/8 instead of NT per round.
+    unres0 = jnp.sum(((root >= 0) & valid).astype(jnp.int32))
     root, _, _ = jax.lax.while_loop(
-        not_done, advance, (root, jnp.any((root >= 0) & valid), jnp.int32(0))
+        not_done, advance, (root, unres0, jnp.int32(0))
+    )
+    # Unresolved-first order; the first KSUB slots cover every unresolved
+    # position (the loop above guaranteed the count fits). Filler slots
+    # (resolved or padding) are forced negative so they are inert.
+    order = jnp.argsort(jnp.where((root >= 0) & valid, 0, 1).astype(jnp.int8),
+                        stable=True)
+    cand = order[:KSUB]
+    sub = jnp.where(valid[cand], root[cand], -1)
+
+    def sub_not_done(carry):
+        sub, root, unresolved, it = carry
+        return unresolved & (it < max_iters)
+
+    def sub_advance(carry):
+        sub, root, _, it = carry
+        hop = root[jnp.maximum(sub, 0)]
+        sub = jnp.where(sub >= 0, hop, sub)
+        root = root.at[cand].set(sub, mode="promise_in_bounds",
+                                 unique_indices=True)
+        return sub, root, jnp.any(sub >= 0), it + 1
+
+    sub, root, _, _ = jax.lax.while_loop(
+        sub_not_done, sub_advance, (sub, root, jnp.any(sub >= 0), jnp.int32(0))
     )
 
     out = (jnp.where(root < 0, -root, 1) - 1).astype(jnp.uint8)
