@@ -24,13 +24,14 @@ from .status import (
     EncodeOp,
     EncodeStatus,
 )
-from .vec import ByteVec
+from .vec import ByteVec, ChunkedSink
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Buffer",
     "ByteVec",
+    "ChunkedSink",
     "Decode",
     "DecodeError",
     "DecodeStatus",

@@ -70,15 +70,22 @@ class Decoder:
             vec.reserve_exact(1024 if len(vec) < 65_536 else 8192)
 
     def decode_buf(self, inp, out_buf) -> Decode:
-        """Decode into a chunk-appending sink (the ``bytes::BufMut`` driver,
-        reference: decode_buf, decoder/mod.rs:394-427). ``out_buf`` must be a
-        ``bytearray`` (appended to in chunks)."""
+        """Decode into a ``bytes::BufMut``-style sink (reference:
+        decode_buf, decoder/mod.rs:394-427). Sinks exposing
+        ``chunk_mut()``/``advance_mut()`` (e.g. ``ChunkedSink``) are written
+        in place, chunk by chunk — no staging copy; plain ``bytearray``
+        sinks fall back to append-a-chunk."""
         inp = memoryview(inp)
-        chunk = bytearray(65_536)
+        lending = hasattr(out_buf, "chunk_mut") and hasattr(out_buf, "advance_mut")
+        staged = None if lending else bytearray(65_536)
         while True:
+            chunk = out_buf.chunk_mut() if lending else staged
             result = self.decode(inp, chunk)
             produced = len(chunk) - result.output_remain
-            out_buf.extend(chunk[:produced])
+            if lending:
+                out_buf.advance_mut(produced)
+            else:
+                out_buf.extend(chunk[:produced])
             if result.is_error or result.status is not DecodeStatus.NeedOutput:
                 return Decode(result.input_remain, result.output_remain, result.status)
             inp = inp[len(inp) - result.input_remain :]

@@ -69,15 +69,22 @@ class Encoder:
             vec.reserve_exact(1024 if len(vec) < 65_536 else 8192)
 
     def encode_buf(self, inp, out_buf, op: EncodeOp) -> Encode:
-        """Encode into a chunk-appending ``bytearray`` sink (the
-        ``bytes::BufMut`` driver, reference: encode_buf,
-        encoder/mod.rs:276-308)."""
+        """Encode into a ``bytes::BufMut``-style sink (reference:
+        encode_buf, encoder/mod.rs:276-308). Sinks exposing
+        ``chunk_mut()``/``advance_mut()`` (e.g. ``ChunkedSink``) are written
+        in place, chunk by chunk — no staging copy; plain ``bytearray``
+        sinks fall back to append-a-chunk."""
         inp = memoryview(inp)
-        chunk = bytearray(65_536)
+        lending = hasattr(out_buf, "chunk_mut") and hasattr(out_buf, "advance_mut")
+        staged = None if lending else bytearray(65_536)
         while True:
+            chunk = out_buf.chunk_mut() if lending else staged
             result = self.encode(inp, chunk, op)
             produced = len(chunk) - result.output_remain
-            out_buf.extend(chunk[:produced])
+            if lending:
+                out_buf.advance_mut(produced)
+            else:
+                out_buf.extend(chunk[:produced])
             if result.status is not EncodeStatus.NeedOutput:
                 return Encode(result.input_remain, result.output_remain, result.status)
             inp = inp[len(inp) - result.input_remain :]

@@ -70,3 +70,49 @@ class ByteVec:
         self.reserve_exact(len(data))
         self._buf[self._len : self._len + len(data)] = data
         self._len += len(data)
+
+
+class ChunkedSink:
+    """``bytes::BufMut``-style chunk-lending output sink (reference:
+    ``encode_buf``/``decode_buf``, encoder/mod.rs:276-308 /
+    decoder/mod.rs:394-427).
+
+    The codec writes directly into the sink's spare capacity via
+    ``chunk_mut()`` (a mutable view of the current chunk's free bytes —
+    chunks are non-contiguous, like a ``BufMut`` rope) and commits with
+    ``advance_mut(n)``. No intermediate staging copy is involved, matching
+    the reference's "only you allocate" discipline."""
+
+    def __init__(self, chunk_size: int = 65_536) -> None:
+        if chunk_size < 128:
+            raise ValueError("chunk_size must be >= 128")
+        self._chunk_size = chunk_size
+        self._chunks: list[bytearray] = []
+        self._fill: list[int] = []
+
+    def chunk_mut(self) -> memoryview:
+        """Mutable view of the current chunk's spare bytes (allocates a new
+        chunk when the current one is full)."""
+        if not self._chunks or self._fill[-1] == len(self._chunks[-1]):
+            self._chunks.append(bytearray(self._chunk_size))
+            self._fill.append(0)
+        return memoryview(self._chunks[-1])[self._fill[-1] :]
+
+    def advance_mut(self, n: int) -> None:
+        if not self._chunks:
+            if n:
+                raise ValueError("advance_mut before chunk_mut")
+            return
+        if not 0 <= n <= len(self._chunks[-1]) - self._fill[-1]:
+            raise ValueError("advance_mut beyond lent chunk")
+        self._fill[-1] += n
+
+    def __len__(self) -> int:
+        return sum(self._fill)
+
+    def chunks(self) -> list[bytes]:
+        """The committed chunks, in order (non-contiguous by design)."""
+        return [bytes(c[:f]) for c, f in zip(self._chunks, self._fill)]
+
+    def data(self) -> bytes:
+        return b"".join(self.chunks())

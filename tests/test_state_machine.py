@@ -232,3 +232,28 @@ def test_encode_buf_decode_buf(name, make_enc, make_dec, detection):
         assert bytes(decoded) == data
         assert enc.reset()
         assert dec.reset()
+
+
+def test_chunked_sink_bufmut_parity():
+    """encode_buf/decode_buf write in place into a chunk-lending sink
+    (the bytes::BufMut driver, reference tests/encoder.rs test_case_bytes)
+    and the result is byte-identical to the bytearray fallback."""
+    import compu_tpu as ct
+    from compu_tpu import ChunkedSink, EncodeOp, EncodeStatus, DecodeStatus
+
+    data = (DATA_DIR / "alice29.txt").read_bytes()
+    enc = ct.encoder.Interface.zlib()
+    sink = ChunkedSink(4096)
+    res = enc.encode_buf(data, sink, EncodeOp.Finish)
+    assert res.status is EncodeStatus.Finished and res.input_remain == 0
+    assert len(sink.chunks()) > 1  # genuinely non-contiguous
+    enc.reset()
+    ba = bytearray()
+    enc.encode_buf(data, ba, EncodeOp.Finish)
+    assert sink.data() == bytes(ba)
+
+    dec = ct.decoder.Interface.zlib()
+    out = ChunkedSink(4096)
+    res = dec.decode_buf(sink.data(), out)
+    assert res.status is DecodeStatus.Finished
+    assert out.data() == data
