@@ -123,9 +123,10 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
     cand = prev
     best_len = np.zeros(m, dtype=np.int64)
     best_dist = np.zeros(m, dtype=np.int64)
+    retire = np.minimum(nice, limit[:m])
     for _ in range(depth):
         valid = (cand >= 0) & (pos_all - cand <= max_dist)
-        idx = np.nonzero(valid & (best_len < nice))[0]
+        idx = np.nonzero(valid & (best_len < retire))[0]
         if idx.size == 0:
             break
         l = _match_lengths(u64, idx, cand[idx], limit[idx])
@@ -184,9 +185,13 @@ def find_matches_k(data: np.ndarray, level: int, max_dist: int, K: int = 3,
     cand = prev
     best_len = np.zeros(m, dtype=np.int64)
     cnt = np.zeros(m, dtype=np.int64)
+    # A position retires once its match hits the smaller of nice and its
+    # own end-of-block limit — otherwise tail positions keep every deep
+    # walk alive for the full depth on degenerate (run) chains.
+    retire = np.minimum(nice, limit[:m])
     for _ in range(depth):
         valid = (cand >= 0) & (pos_all - cand <= max_dist)
-        idx = np.nonzero(valid & (best_len < nice))[0]
+        idx = np.nonzero(valid & (best_len < retire))[0]
         if idx.size == 0:
             break
         l = _match_lengths(u64, idx, cand[idx], limit[idx])

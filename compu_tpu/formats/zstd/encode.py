@@ -73,46 +73,66 @@ _ML_XBITS_LEN = T.ML_BITS[_ML_CODE_LEN]
 _ML_SUBLENS = sorted(set(list(range(3, 68)) + [int(b) for b in T.ML_BASE if b <= 258]))
 
 
+def _parse_effort(level: int):
+    """Effort ladder for the high strategies: deeper chain walks + more
+    pareto slots (the btopt/btultra analogue; depth is the dominant ratio
+    lever — PLAN.md measurements)."""
+    if level >= 22:
+        return 5, 2048
+    if level >= 19:
+        return 5, 512
+    if level >= 15:
+        return 5, 128
+    if level >= 12:
+        return 3, 64
+    return 1, 0
+
+
 def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
-                         max_dist: int):
+                         max_dist: int, data_len: int | None = None,
+                         matches=None):
     """Iterated cost-model parse with zstd-native prices: literal cost from
     an 11-bit-capped Huffman estimate, match cost = ML code FSE cost + extra
     bits + OF code cost + offset bits + amortized LL channel cost. Two
     Zopfli-style rounds (stats from the previous parse). ``full`` includes
     ``hist_len`` window bytes from previous blocks; tokens are returned for
     the region past the history (distances may reach into it — RFC 8878
-    windows span block boundaries)."""
+    windows span block boundaries). ``data_len`` bounds the parsed region
+    (sub-block splitting); ``matches`` injects precomputed pareto
+    candidates over ``full`` so split blocks share ONE chain walk."""
     from ...ops.huffman import length_limited_lengths
     from ..deflate.deflate_encode import _greedy_tokens, find_matches_k
 
-    # Effort ladder for the high strategies: deeper chain walks + more
-    # pareto slots (the btopt/btultra analogue; depth is the dominant
-    # ratio lever — PLAN.md measurements).
-    if level >= 22:
-        K, depth = 5, 2048
-    elif level >= 19:
-        K, depth = 5, 512
-    elif level >= 15:
-        K, depth = 5, 128
-    elif level >= 12:
-        K, depth = 3, 64
-    else:
-        K, depth = 1, 0
-    lens_fk, dists_fk = find_matches_k(
-        full, min(level, 9), max_dist, K=K, depth=depth,
-        deflate_heuristics=False,
-    )
-    data = full[hist_len:]
-    lens_k = np.asarray(lens_fk[hist_len:], dtype=np.int64)
-    dists_k = np.asarray(dists_fk[hist_len:], dtype=np.int64)
+    K, depth = _parse_effort(level)
+    if matches is None:
+        matches = find_matches_k(
+            full, min(level, 9), max_dist, K=K, depth=depth,
+            deflate_heuristics=False,
+        )
+    lens_fk, dists_fk = matches
+    end = len(full) if data_len is None else hist_len + data_len
+    data = full[hist_len:end]
+    full = full[:end]
+    n = len(data)
+    lens_k = np.asarray(lens_fk[hist_len:end], dtype=np.int64)
+    dists_k = np.asarray(dists_fk[hist_len:end], dtype=np.int64)
+    # Matches must not run past the block end (zstd sequences reproduce
+    # exactly one block) — clamp, and drop below the 3-byte minimum.
+    room = n - np.arange(n)
+    lens_k = np.minimum(lens_k, room[:, None])
+    lens_k[lens_k < 3] = 0
     # Longest candidate (slot of max length) seeds the greedy parse.
     top = np.argmax(lens_k, axis=1)
     rows = np.arange(len(lens_k))
     lens = lens_k[rows, top]
     dists = dists_k[rows, top]
-    n = len(data)
     tok = _greedy_tokens(data, lens, dists)
     if n <= 16:
+        return tok
+    # Extremely repetitive blocks (mean token span > 64 bytes): the greedy
+    # cover is already nearly all max-length matches and the per-position
+    # sublength DP would grind O(n * |sublens| * rounds) for <0.1% gain.
+    if len(tok[0]) * 64 < n:
         return tok
     lens_kl = lens_k.tolist()
     dists_kl = dists_k.tolist()
@@ -180,19 +200,34 @@ def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
                 plen[j] = l
                 pdist[j] = d
 
+        rep_memo_r = -1
+        rep_memo_l = 0
+        rep_memo_i = -10
         for i in range(n):
             ci = cost[i]
             r0 = rep0[i]
             # literal step
             relax(i + 1, ci + litcost[data_l[i]], r0, 0, 0)
-            # rep0 match measured on the fly (may reach into the history)
+            # rep0 match measured on the fly (may reach into the history).
+            # Carry memo keeps this O(n) on run-heavy data: with the same
+            # rep distance, matchlen(i+1) == matchlen(i) - 1 exactly —
+            # unless the previous scan hit the cap, where it re-extends
+            # from cap-1 (a constant number of compares per position).
             src = hist_len + i - r0
             if src >= 0:
                 dst = hist_len + i
                 lmax = min(258, n - i)
-                l = 0
-                while l < lmax and full_l[src + l] == full_l[dst + l]:
-                    l += 1
+                if r0 == rep_memo_r and rep_memo_i == i - 1 and rep_memo_l > 0:
+                    l = rep_memo_l - 1
+                    if rep_memo_l >= 258:
+                        while l < lmax and full_l[src + l] == full_l[dst + l]:
+                            l += 1
+                    l = min(l, lmax)
+                else:
+                    l = 0
+                    while l < lmax and full_l[src + l] == full_l[dst + l]:
+                        l += 1
+                rep_memo_r, rep_memo_l, rep_memo_i = r0, l, i
                 if l >= 3:
                     dc = rep_dc
                     relax(i + l, ci + mlcost_len[l - 3] + dc, r0, l, r0)
@@ -572,7 +607,7 @@ def _sequences_section(seqs, reuse: dict | None = None) -> bytes:
 
 def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
                    tokenizer=None, history: bytes = b"",
-                   reuse: dict | None = None) -> bytes:
+                   reuse: dict | None = None, matches=None) -> bytes:
     """One zstd block body (compressed type), or raw/RLE when better.
     Returns the full block including its 3-byte header. ``history`` is the
     window tail of previous blocks: matches may reference it (the decoder's
@@ -590,13 +625,16 @@ def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
     arr = np.frombuffer(data, dtype=np.uint8)
     if tokenizer is not None:
         tok_pos, tok_len, tok_dist = tokenizer(data)
-    elif history:
+    elif history and level < 9:
         full = np.frombuffer(history + data, dtype=np.uint8)
         tok_pos, tok_len, tok_dist = _tokens_with_history(
             full, len(history), level, max_dist
         )
-    elif level >= 9:
-        tok_pos, tok_len, tok_dist = _zstd_optimal_tokens(arr, 0, level, max_dist)
+    elif history or level >= 9 or matches is not None:
+        full = np.frombuffer(history + data, dtype=np.uint8) if history else arr
+        tok_pos, tok_len, tok_dist = _zstd_optimal_tokens(
+            full, len(history), level, max_dist, matches=matches
+        )
     else:
         strategy = ZlibStrategy.Default
         tok_pos, tok_len, tok_dist = tokenize(arr, min(level, 9), strategy, max_dist)
@@ -666,10 +704,32 @@ class ZstdStreamEncoder:
             out.extend(struct.pack("<I", 1 | (0 << 1) | 0)[:3])
             return bytes(out)
         if self.tokenizer is None and self.level >= 12 and len(data) > 49152:
+            from ..deflate.deflate_encode import find_matches_k
+
             bs = 32768 if self.level >= 15 else 65536
+            # ONE chain walk over (window + whole chunk); every sub-block
+            # parses against slices of it (the DP clamps lengths to its
+            # own block end), instead of re-hashing the history per block.
+            window0 = self._window if self.level >= 5 else b""
+            gfull = np.frombuffer(window0 + data, dtype=np.uint8)
+            K, depth = _parse_effort(self.level)
+            gmatches = find_matches_k(
+                gfull, 9, min((1 << self.window_log) - 1, len(gfull)),
+                K=K, depth=depth, deflate_heuristics=False,
+            )
             for off in range(0, len(data), bs):
                 sub = data[off : off + bs]
-                out.extend(self._compress_one(sub, final and off + bs >= len(data)))
+                hist = window0 + data[:off]
+                blob = compress_block(
+                    sub, self.level,
+                    max_dist=min((1 << self.window_log) - 1, len(hist) + len(sub)),
+                    history=hist, reuse=self._reuse, matches=gmatches,
+                )
+                self._window = (self._window + sub)[
+                    -min((1 << self.window_log) - 1, MAX_BLOCK):]
+                if final and off + bs >= len(data):
+                    blob = bytes([blob[0] | 1]) + blob[1:]
+                out.extend(blob)
             return bytes(out)
         return bytes(self._compress_one(data, final))
 
