@@ -90,7 +90,7 @@ def _parse_effort(level: int):
 
 def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
                          max_dist: int, data_len: int | None = None,
-                         matches=None):
+                         matches=None, rep_in=None):
     """Iterated cost-model parse with zstd-native prices: literal cost from
     an 11-bit-capped Huffman estimate, match cost = ML code FSE cost + extra
     bits + OF code cost + offset bits + amortized LL channel cost. Two
@@ -152,7 +152,7 @@ def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
         lits, seqs = _sequences_from_tokens(data, *tok)
         if not seqs:
             break
-        seqs = _promote_rep_offsets(full, hist_len, seqs)
+        seqs = _promote_rep_offsets(full, hist_len, seqs, rep_in)
         lf = np.bincount(np.frombuffer(lits, np.uint8), minlength=256)
         if len(lits) >= 32:
             ll_ = length_limited_lengths(lf, 11).astype(np.float64)
@@ -160,7 +160,7 @@ def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
         else:
             ll_ = np.full(256, 8.0)
         litcost = ll_.tolist()
-        of_codes = np.int64([_offset_code(v) for v in _resolve_offset_values(seqs)])
+        of_codes = np.int64([_offset_code(v) for v in _resolve_offset_values(seqs, rep_in)[0]])
         ml_codes = np.int64([T.ml_code(ml) for _, _, ml in seqs])
         ll_codes = np.int64([T.ll_code(ll) for ll, _, _ in seqs])
         ofc = chan_cost(of_codes, 32)
@@ -189,7 +189,7 @@ def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
         # matches profitable and is where libzstd's parse wins on text.
         cost = [INF] * (n + 1)
         cost[0] = 0.0
-        rep0 = [1] * (n + 1)
+        rep0 = [rep_in[0] if rep_in else 1] * (n + 1)
         plen = [0] * (n + 1)
         pdist = [0] * (n + 1)
 
@@ -277,13 +277,14 @@ def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
     return tok
 
 
-def _promote_rep_offsets(full: np.ndarray, hist_len: int, seqs):
+def _promote_rep_offsets(full: np.ndarray, hist_len: int, seqs, rep=None):
     """Swap a match's offset for a repeat-history distance when the same
     bytes exist there (elementwise compare on the true data is exact even
     for overlapping copies): an OF code drops from ~oc+4 bits to ~1-3.
     Tracks the 3-slot history exactly as the decoder does, including the
-    ll==0 slot rotation (decode.py::_execute_sequences)."""
-    rep = [1, 4, 8]
+    ll==0 slot rotation (decode.py::_execute_sequences); ``rep`` is the
+    incoming frame-persistent ring."""
+    rep = list(rep) if rep is not None else [1, 4, 8]
     pos = hist_len
     out = []
     nfull = len(full)
@@ -497,12 +498,14 @@ class _SeqTable:
             reuse[chan] = new_state  # RLE clears it (repeat-after-RLE unsupported)
 
 
-def _resolve_offset_values(seqs):
+def _resolve_offset_values(seqs, rep=None):
     """Repeat-offset resolution: mirror the decoder's 3-slot history
     (decode.py::_execute_sequences) so recent distances cost ~1 bit.
-    Returns the OF *values* (1..3 = repeat slots, else offset+3)."""
+    ``rep`` is the incoming ring — it PERSISTS across blocks within a
+    frame (decoder state), so multi-block encoders must thread it.
+    Returns (OF values (1..3 = repeat slots, else offset+3), final ring)."""
     of_values = []
-    rep = [1, 4, 8]
+    rep = list(rep) if rep is not None else [1, 4, 8]
     for ll, off, _ in seqs:
         if ll != 0:
             if off == rep[0]:
@@ -533,7 +536,7 @@ def _resolve_offset_values(seqs):
             elif idx >= 2:
                 rep = [off, rep[0], rep[1]]
             # idx == 0: unchanged
-    return of_values
+    return of_values, rep
 
 
 def _sequences_section(seqs, reuse: dict | None = None) -> bytes:
@@ -552,7 +555,10 @@ def _sequences_section(seqs, reuse: dict | None = None) -> bytes:
         return bytes(out)
 
     ll_codes = [T.ll_code(ll) for ll, _, _ in seqs]
-    of_values = _resolve_offset_values(seqs)
+    rep_in = reuse.get("rep") if reuse else None
+    of_values, rep_out = _resolve_offset_values(seqs, rep_in)
+    if reuse is not None:
+        reuse["rep"] = rep_out
     of_codes = [_offset_code(v) for v in of_values]
     ml_codes = [T.ml_code(ml) for _, _, ml in seqs]
 
@@ -633,16 +639,18 @@ def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
     elif history or level >= 9 or matches is not None:
         full = np.frombuffer(history + data, dtype=np.uint8) if history else arr
         tok_pos, tok_len, tok_dist = _zstd_optimal_tokens(
-            full, len(history), level, max_dist, matches=matches
+            full, len(history), level, max_dist, matches=matches,
+            rep_in=reuse.get("rep") if reuse else None,
         )
     else:
         strategy = ZlibStrategy.Default
         tok_pos, tok_len, tok_dist = tokenize(arr, min(level, 9), strategy, max_dist)
     lits, seqs = _sequences_from_tokens(arr, tok_pos, tok_len, tok_dist)
+    local = dict(reuse) if reuse is not None else None
     if seqs and level >= 5 and tokenizer is None:
         fullarr = np.frombuffer(history + data, dtype=np.uint8) if history else arr
-        seqs = _promote_rep_offsets(fullarr, len(history), seqs)
-    local = dict(reuse) if reuse is not None else None
+        seqs = _promote_rep_offsets(fullarr, len(history), seqs,
+                                    local.get("rep") if local else None)
     try:
         body = _literals_section(lits, local) + _sequences_section(seqs, local)
     except CodecFailure:

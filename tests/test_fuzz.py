@@ -157,3 +157,34 @@ def test_fuzz_chunked_feeding(seed):
             assert r.status is DecodeStatus.Finished
             finished = True
         assert out.data() == data
+
+
+@pytest.mark.parametrize("level", [12, 19, 22])
+def test_fuzz_zstd_max_levels_multichunk(level):
+    """Max-effort zstd paths (native-cost DP, block splitting, cross-block
+    history, entropy-state reuse) on >128 KiB inputs, against the libzstd
+    oracle."""
+    rng = np.random.default_rng(7000 + level)
+    for kind in ("text", "repeat", "runs"):
+        data = make_payload(rng, kind, 200_000)
+        enc = encoder.Interface.zstd(ZstdOptions(level=level))
+        dec = decoder.Interface.zstd()
+        roundtrip(
+            enc, dec, data,
+            lambda b: zstandard.ZstdDecompressor().decompress(
+                b, max_output_size=len(data) + 64
+            ),
+        )
+
+
+@pytest.mark.parametrize("quality", [10, 11])
+def test_fuzz_brotli_max_quality(quality):
+    """Deep-walk brotli qualities (ring distance codes, implicit-distance
+    commands) roundtrip on mixed payloads."""
+    rng = np.random.default_rng(8000 + quality)
+    for kind in ("text", "repeat", "lowent"):
+        data = make_payload(rng, kind, 150_000)
+        enc = encoder.Interface.brotli(BrotliOptions(quality=quality))
+        dec = decoder.Interface.brotli()
+        roundtrip(enc, dec, data,
+                  lambda b: brotli_oracle.decompress(b, len(data) + 64))
