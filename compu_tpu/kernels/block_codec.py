@@ -64,6 +64,40 @@ def _compact(stacked: jnp.ndarray, lens: jnp.ndarray, *, cap: int) -> jnp.ndarra
     return jax.lax.fori_loop(0, B, body, buf)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("depth", "cap", "with_index", "check")
+)
+def _encode_blocks_batched(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int,
+                           cap: int, with_index: bool, check: str):
+    """One jit over the whole (B, N) block matrix: lax.map of the v2 kernel
+    plus the compaction, so a batch costs ONE dispatch instead of B+1.
+    (The v2 graph lax.maps cleanly — PLAN.md; the scatter-heavy v1 does
+    not.) Returns (packed u8[B*cap+cap], metas i32[B,2], segs|None)."""
+
+    def one(args):
+        block, n = args
+        return encode_block_fixed_v2(
+            block, n, depth=depth, cap=cap, with_index=with_index, check=check
+        )
+
+    if with_index:
+        outs, metas, segs = jax.lax.map(one, (blocks, lens))
+    else:
+        outs, metas = jax.lax.map(one, (blocks, lens))
+        segs = None
+    B = blocks.shape[0]
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(metas[:, 0].astype(jnp.int32))[:-1]]
+    )
+    buf = jnp.zeros(B * cap + cap, dtype=jnp.uint8)
+
+    def body(i, buf):
+        return jax.lax.dynamic_update_slice(buf, outs[i], (offsets[i],))
+
+    packed = jax.lax.fori_loop(0, B, body, buf)
+    return packed, metas, segs
+
+
 def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
                          kernel: str = "v2", segment_index: bool = False):
     """Returns ``fn(blocks u8[B,N], lens i32[B]) -> (outs: list[np.uint8],
@@ -93,27 +127,41 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
         B, N = blocks.shape
         cap = N + N // 4 + 64
         blocks_dev = jax.device_put(blocks)  # one bulk upload
-        outs, metas, seg_futs = [], [], []
         v1_gzip = kernel != "v2" and mode is ZlibMode.Gzip
         crc_futs = []
-        for i in range(B):
-            r = encode_one(blocks_dev[i], jnp.int32(int(lens[i])))
+        if kernel == "v2":
+            # Batched path: ONE dispatch for the whole block matrix
+            # (kernel + compaction fused in a single jit).
+            packed, meta_stack, seg_stack = _encode_blocks_batched(
+                blocks_dev, jnp.asarray(lens, jnp.int32),
+                depth=min(depth, 8), cap=cap, with_index=segment_index,
+                check=check,
+            )
+            seg_futs = [seg_stack] if segment_index else []
+        else:
+            outs, metas, seg_futs = [], [], []
+            for i in range(B):
+                r = encode_one(blocks_dev[i], jnp.int32(int(lens[i])))
+                if segment_index:
+                    o, m, segs = r
+                    seg_futs.append(segs)
+                else:
+                    o, m = r
+                outs.append(o)
+                metas.append(m)
+                if v1_gzip:  # v1 computes adler only; gzip needs lane crc
+                    crc_futs.append(
+                        crc32_lane_registers(blocks_dev[i], lanes=crc_lanes)
+                    )
+            meta_stack = jnp.stack(metas)  # (B, 2) on device
             if segment_index:
-                o, m, segs = r
-                seg_futs.append(segs)
-            else:
-                o, m = r
-            outs.append(o)
-            metas.append(m)
-            if v1_gzip:  # v1 kernel computes adler only; gzip needs lane crc
-                crc_futs.append(crc32_lane_registers(blocks_dev[i], lanes=crc_lanes))
-        meta_stack = jnp.stack(metas)  # (B, 2) on device
-        # Device-side compaction (device lens — no host dependency), then
-        # ONE small fetch (meta + segment index) and ONE exact-size D2H.
-        packed = _compact(jnp.stack(outs), meta_stack[:, 0], cap=cap)
+                seg_futs = [jnp.stack(seg_futs)]
+            # Device-side compaction (device lens — no host dependency), then
+            # ONE small fetch (meta + segment index) and ONE exact-size D2H.
+            packed = _compact(jnp.stack(outs), meta_stack[:, 0], cap=cap)
         small = [meta_stack.reshape(-1)]
         if segment_index:
-            small.append(jnp.stack(seg_futs).reshape(-1))
+            small.append(seg_futs[0].reshape(-1))
         small_h = np.asarray(jnp.concatenate(small))  # sync 1 (small)
         meta_host = small_h[: 2 * B].reshape(B, 2)
         out_lens = meta_host[:, 0].astype(np.int32)
