@@ -400,9 +400,17 @@ class BrotliStreamEncoder:
     """Meta-block streaming encoder with cross-chunk bit carry."""
 
     def __init__(self, quality: int = 9, window_bits: int = 22,
-                 device_lz: bool = False) -> None:
+                 device_lz: bool = False, mode=None) -> None:
         self.quality = quality
         self.window_bits = window_bits
+        # Input-type hint (reference applies it to the C state at
+        # src/encoder/brotli_common.rs:58-73). Ours drives the literal
+        # context model: Text enables the UTF8 context map from quality 2
+        # (text gains most from context trees); Font disables it (font
+        # data wants brotli's signed context mode, which this encoder does
+        # not model — single-tree coding is the safe choice); Generic keeps
+        # the quality >= 5 default.
+        self.mode_name = getattr(mode, "name", None) or "Generic"
         self.tokenizer = None
         if device_lz:
             from ..device_lz import DeviceTokenizer
@@ -528,8 +536,14 @@ class BrotliStreamEncoder:
             lit_positions.extend(range(start, start + ins))
         lit_pos_arr = np.asarray(lit_positions, dtype=np.int64)
         lit_vals = arr[lit_pos_arr] if len(lit_pos_arr) else np.zeros(0, np.int64)
+        if self.mode_name == "Font":
+            ctx_enabled = False
+        elif self.mode_name == "Text":
+            ctx_enabled = self.quality >= 2
+        else:
+            ctx_enabled = self.quality >= 5
         cmap, lit_codes_list, cid_of_pos = _context_model(
-            arr, lit_pos_arr, lit_vals, enabled=self.quality >= 5,
+            arr, lit_pos_arr, lit_vals, enabled=ctx_enabled,
             tail=self._tail,
         )
         ntrees_l = len(lit_codes_list)

@@ -10,7 +10,12 @@ import enum
 
 class BrotliMode(enum.Enum):
     """Input hint (reference: BrotliEncoderMode, src/encoder/brotli_common.rs:4-11).
-    Currently advisory; kept for API parity."""
+
+    Drives the literal context model: ``Text`` enables the UTF8 context map
+    from quality 2 (text benefits most from per-context literal trees),
+    ``Font`` disables context mapping (font data wants the signed context
+    mode this encoder does not model), ``Generic`` keeps the quality-gated
+    default (enabled at quality >= 5)."""
 
     Generic = 0
     Text = 1

@@ -26,6 +26,7 @@ class BrotliEncoder(EncoderBackend):
             quality=self.options.quality,
             window_bits=self.options.window_bits,
             device_lz=getattr(self.options, "device_lz", False),
+            mode=self.options.mode,
         )
 
     def _header(self) -> bytes:

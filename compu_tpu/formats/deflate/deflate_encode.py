@@ -78,12 +78,16 @@ def _match_lengths(u64: np.ndarray, pos: np.ndarray, cand: np.ndarray, limit: np
 
 
 def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
-                 max_dist: int = consts.WINDOW_SIZE, depth: int = 0):
+                 max_dist: int = consts.WINDOW_SIZE, depth: int = 0,
+                 hash_bits: int = 16):
     """Best (length, distance) per position. Returns (lens, dists) int64
     arrays; positions without a usable match have len 0. ``max_dist``
     widens the window for formats whose distances exceed DEFLATE's 32 KiB
     (zstd window_log, brotli window_bits); ``depth`` overrides the level
-    ladder's chain-walk depth (wide-window formats' max-effort modes)."""
+    ladder's chain-walk depth (wide-window formats' max-effort modes);
+    ``hash_bits`` sizes the 3-byte-prefix hash (mem_level + 8, zlib's
+    memLevel semantics: narrower hashes collide more, trading ratio for a
+    smaller/faster table — reference knob src/encoder/zlib_common.rs:62)."""
     n = len(data)
     lens = np.zeros(n, dtype=np.int64)
     dists = np.zeros(n, dtype=np.int64)
@@ -109,7 +113,7 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
         | (data[1 : m + 1].astype(np.uint32) << np.uint32(8))
         | (data[2 : m + 2].astype(np.uint32) << np.uint32(16))
     )
-    h = ((v * np.uint32(2654435761)) >> np.uint32(16)).astype(np.uint32)
+    h = ((v * np.uint32(2654435761)) >> np.uint32(32 - hash_bits)).astype(np.uint32)
     # prev[i] = nearest earlier position with the same hash (-1 if none):
     # one stable sort groups positions by hash in position order.
     order = np.argsort(h, kind="stable")
@@ -150,7 +154,8 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
 
 
 def find_matches_k(data: np.ndarray, level: int, max_dist: int, K: int = 3,
-                   depth: int = 0, deflate_heuristics: bool = True):
+                   depth: int = 0, deflate_heuristics: bool = True,
+                   hash_bits: int = 16):
     """Pareto match candidates per position: up to K (length, distance)
     pairs. The chain walk visits candidates nearest-first, so every strict
     length improvement is pareto-optimal (longer but farther); slots fill
@@ -173,7 +178,7 @@ def find_matches_k(data: np.ndarray, level: int, max_dist: int, K: int = 3,
         | (data[1 : m + 1].astype(np.uint32) << np.uint32(8))
         | (data[2 : m + 2].astype(np.uint32) << np.uint32(16))
     )
-    h = ((v * np.uint32(2654435761)) >> np.uint32(16)).astype(np.uint32)
+    h = ((v * np.uint32(2654435761)) >> np.uint32(32 - hash_bits)).astype(np.uint32)
     order = np.argsort(h, kind="stable")
     prev = np.full(m, -1, dtype=np.int64)
     same = h[order[1:]] == h[order[:-1]]
@@ -232,11 +237,13 @@ def greedy_cover(nxt: np.ndarray) -> np.ndarray:
 
 
 def tokenize(data: np.ndarray, level: int, strategy: ZlibStrategy,
-             max_dist: int = consts.WINDOW_SIZE, depth: int = 0):
+             max_dist: int = consts.WINDOW_SIZE, depth: int = 0,
+             hash_bits: int = 16):
     """Full parse: returns (token_pos, tok_len, tok_dist) where tok_len==0
     marks a literal token. Level 9 runs the cost-model optimal parse."""
     n = len(data)
-    lens, dists = find_matches(data, level, strategy, max_dist, depth=depth)
+    lens, dists = find_matches(data, level, strategy, max_dist, depth=depth,
+                               hash_bits=hash_bits)
     if level >= 9 and strategy in (ZlibStrategy.Default, ZlibStrategy.Filtered) and n > 16:
         return _optimal_parse(data, lens, dists)
     if LEVEL_LAZY[level] and n > 1:
@@ -513,9 +520,13 @@ class DeflateStream:
     invariant, tests/encoder.rs:56-57).
     """
 
-    def __init__(self, level: int, strategy: ZlibStrategy) -> None:
+    def __init__(self, level: int, strategy: ZlibStrategy,
+                 mem_level: int = 8) -> None:
         self.level = level
         self.strategy = strategy
+        # zlib memLevel semantics: sizes the match-finder hash (ours:
+        # mem_level + 8 hash bits; the default 8 keeps the 16-bit hash).
+        self.hash_bits = mem_level + 8
         self.tail_bits = 0
         self.tail_byte = 0
         self.final_emitted = False
@@ -672,7 +683,9 @@ class DeflateStream:
                 self.final_emitted = True
             return bytes(out)
 
-        tok_pos, tok_len, tok_dist = tokenize(data, self.level, self.strategy)
+        tok_pos, tok_len, tok_dist = tokenize(
+            data, self.level, self.strategy, hash_bits=self.hash_bits
+        )
         # Split tokens into sub-blocks at ~SUBBLOCK input-byte boundaries so
         # Huffman tables adapt locally (zlib's block granularity).
         boundaries = np.searchsorted(tok_pos, np.arange(SUBBLOCK, n, SUBBLOCK))

@@ -40,7 +40,9 @@ class ZlibOptions:
     """Encoder options (reference: ZlibOptions, src/encoder/zlib_common.rs:46-110).
 
     ``level`` 0..9 maps onto match-finder effort (0 = stored blocks only);
-    ``mem_level`` is accepted for parity and scales the hash-chain budget.
+    ``mem_level`` sizes the match-finder hash table (mem_level + 8 hash
+    bits — zlib's memLevel semantics: smaller values collide more and
+    trade ratio for memory; the default 8 is the full-width hash).
     """
 
     mode: ZlibMode = ZlibMode.Zlib

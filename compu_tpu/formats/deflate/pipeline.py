@@ -31,7 +31,10 @@ class DeflateEncoder(EncoderBackend):
     def __init__(self, options: ZlibOptions | None = None) -> None:
         self.options = options or ZlibOptions()
         super().__init__()
-        self._stream = DeflateStream(self.options.level, self.options.strategy)
+        self._stream = DeflateStream(
+            self.options.level, self.options.strategy,
+            mem_level=self.options.mem_level,
+        )
         self._init_checksums()
 
     def _init_checksums(self) -> None:

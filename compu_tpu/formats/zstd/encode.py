@@ -668,9 +668,28 @@ def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
 class ZstdStreamEncoder:
     """Frame-level streaming encoder (hooks for the pipeline backend)."""
 
+    #: Strategy -> effective parse level (libzstd ZSTD_c_strategy override
+    #: semantics, reference src/encoder/zstd.rs:121): the strategy picks the
+    #: match-finder/parse ladder rung regardless of level.
+    _STRATEGY_PARSE_LEVEL = {
+        "Fast": 1, "DFast": 3, "Greedy": 4, "Lazy": 6, "Lazy2": 8,
+        "BtLazy2": 10, "BtOpt": 15, "BtUltra": 19, "BtUltra2": 22,
+    }
+
     def __init__(self, level: int = 3, checksum: bool = True,
-                 window_log: int = 17, device_lz: bool = False) -> None:
+                 window_log: int = 17, device_lz: bool = False,
+                 strategy=None) -> None:
         self.level = level
+        # Effective parse level: strategy overrides; level 0 is the default
+        # ladder rung (3); negative levels all take the fastest greedy rung.
+        if strategy is not None and strategy.name != "Default":
+            self.parse_level = self._STRATEGY_PARSE_LEVEL[strategy.name]
+        elif level == 0:
+            self.parse_level = 3
+        elif level < 0:
+            self.parse_level = 1
+        else:
+            self.parse_level = level
         self.checksum = checksum
         self.window_log = window_log
         self.tokenizer = None
@@ -711,16 +730,16 @@ class ZstdStreamEncoder:
             # Empty final block (raw, size 0).
             out.extend(struct.pack("<I", 1 | (0 << 1) | 0)[:3])
             return bytes(out)
-        if self.tokenizer is None and self.level >= 12 and len(data) > 49152:
+        if self.tokenizer is None and self.parse_level >= 12 and len(data) > 49152:
             from ..deflate.deflate_encode import find_matches_k
 
-            bs = 32768 if self.level >= 15 else 65536
+            bs = 32768 if self.parse_level >= 15 else 65536
             # ONE chain walk over (window + whole chunk); every sub-block
             # parses against slices of it (the DP clamps lengths to its
             # own block end), instead of re-hashing the history per block.
-            window0 = self._window if self.level >= 5 else b""
+            window0 = self._window if self.parse_level >= 5 else b""
             gfull = np.frombuffer(window0 + data, dtype=np.uint8)
-            K, depth = _parse_effort(self.level)
+            K, depth = _parse_effort(self.parse_level)
             gmatches = find_matches_k(
                 gfull, 9, min((1 << self.window_log) - 1, len(gfull)),
                 K=K, depth=depth, deflate_heuristics=False,
@@ -729,7 +748,7 @@ class ZstdStreamEncoder:
                 sub = data[off : off + bs]
                 hist = window0 + data[:off]
                 blob = compress_block(
-                    sub, self.level,
+                    sub, self.parse_level,
                     max_dist=min((1 << self.window_log) - 1, len(hist) + len(sub)),
                     history=hist, reuse=self._reuse, matches=gmatches,
                 )
@@ -748,9 +767,9 @@ class ZstdStreamEncoder:
         # device tokenizer path stays block-local). Levels <= 4 stay
         # block-local for speed, like zstd's fast strategies.
         window_cap = min((1 << self.window_log) - 1, MAX_BLOCK)
-        history = self._window if (self.level >= 5 and self.tokenizer is None) else b""
+        history = self._window if (self.parse_level >= 5 and self.tokenizer is None) else b""
         blob = compress_block(
-            data, self.level,
+            data, self.parse_level,
             max_dist=min((1 << self.window_log) - 1, len(history) + len(data)),
             tokenizer=self.tokenizer,
             history=history,

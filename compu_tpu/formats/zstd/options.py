@@ -10,8 +10,14 @@ import enum
 
 class ZstdStrategy(enum.Enum):
     """Compression strategy ladder (reference: src/encoder/zstd.rs:35-56).
-    Currently informs the match-finder effort mapping; the named ladder is
-    preserved for API parity."""
+
+    A non-default strategy *overrides* the parse effort the level implies
+    (libzstd's ``ZSTD_c_strategy`` semantics, applied by the reference at
+    src/encoder/zstd.rs:121): Fast/DFast/Greedy select the greedy chain
+    walk at increasing depth, Lazy/Lazy2 the lazy heuristic, BtLazy2 a deep
+    lazy walk, and BtOpt/BtUltra/BtUltra2 the cost-model optimal parse at
+    increasing depth/candidate budgets. The level keeps governing entropy
+    and window behavior."""
 
     Default = 0
     Fast = 1
@@ -29,7 +35,11 @@ class ZstdStrategy(enum.Enum):
 class ZstdOptions:
     """Encoder options (reference: ZstdOptions, src/encoder/zstd.rs:62-133).
 
-    ``level`` follows zstd's 1..22 ladder (negative/0 clamp to 1);
+    ``level`` follows zstd's ladder: 1..22 standard levels, 0 means the
+    default (3), and negative levels down to -131072 select the fast path
+    (greedy block-local parse — all negative levels share our fastest
+    ladder rung; the reference forwards the raw value to libzstd,
+    src/encoder/zstd.rs:81-93).
     ``window_log`` bounds match distances (10..31);
     ``checksum`` controls the xxhash64 content checksum (the reference
     relies on libzstd's default off; ours defaults on — flip for byte
@@ -45,8 +55,8 @@ class ZstdOptions:
     device_lz: bool = False
 
     def __post_init__(self) -> None:
-        if not 1 <= self.level <= 22:
-            raise ValueError("zstd level must be in 1..22")
+        if not -131072 <= self.level <= 22:  # ZSTD_minCLevel()..ZSTD_maxCLevel()
+            raise ValueError("zstd level must be in -131072..22")
         if not 10 <= self.window_log <= 31:
             raise ValueError("window_log must be in 10..31")
 

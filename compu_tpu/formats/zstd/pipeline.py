@@ -25,6 +25,7 @@ class ZstdEncoder(EncoderBackend):
             checksum=self.options.checksum,
             window_log=self.options.window_log,
             device_lz=getattr(self.options, "device_lz", False),
+            strategy=self.options.strategy,
         )
 
     def _header(self) -> bytes:
