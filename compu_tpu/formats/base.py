@@ -13,7 +13,12 @@ Design note on buffering: the reference documents that backends may either
 buffer internally (brotli) or wait for output space (zlib)
 (tests/decoder.rs:38-39 comment). The TPU pipelines buffer internally —
 device kernels produce whole blocks at once, which the host then drains —
-so ``input_remain`` is 0 except for bytes past the end of a decoded stream.
+but the internal buffering is BOUNDED: once undrained output exceeds
+``pending_high_water``, further input is refused (``input_remain`` reports
+it back, the reference's back-pressure contract at src/decoder/mod.rs:150-157)
+until the caller drains, and consumed input/drained output prefixes are
+compacted away. A stream of any length therefore flows through small caller
+buffers in O(window + high_water) host memory.
 """
 
 from __future__ import annotations
@@ -54,6 +59,10 @@ class DecoderBackend:
 
     name = "?"
     ERRORS: dict[int, str] = {}
+    #: Back-pressure threshold: once this many undrained decoded bytes are
+    #: pending, new input is refused (reported via ``input_remain``) until
+    #: the caller drains output.
+    pending_high_water = 1 << 20
 
     def __init__(self) -> None:
         self._init_stream_state()
@@ -73,30 +82,14 @@ class DecoderBackend:
     def _do_reset(self) -> None:
         pass
 
-    # -- generic state machine ----------------------------------------------
-    def decode(self, inp, out) -> Decode:
-        inp = memoryview(inp).cast("B") if len(inp) else memoryview(b"")
-        out = memoryview(out).cast("B") if len(out) else memoryview(bytearray())
-        if self._error is not None:
-            return Decode(len(inp), len(out), self._error)
+    def _rebase_input(self, nbytes: int) -> None:
+        """Notify the format that ``nbytes`` were dropped from the front of
+        ``_staged`` (compaction); formats keeping absolute offsets into the
+        staged buffer shift them here. Default: nothing keeps offsets."""
 
-        consumed = 0
-        if not self._finished:
-            self._staged.extend(inp)
-            try:
-                self._pump()
-            except CodecFailure as failure:
-                self._error = DecodeError(failure.code)
-                return Decode(len(inp), len(out), self._error)
-            if self._finished:
-                # Bytes past the end of the stream are not ours to consume;
-                # attribute the excess to the current input slice (the
-                # reference's zlib leaves trailing bytes in avail_in).
-                excess = len(self._staged) - self._staged_pos
-                consumed = len(inp) - min(excess, len(inp))
-            else:
-                consumed = len(inp)
-        # Drain pending decoded bytes into the caller's output buffer.
+    # -- internal helpers -----------------------------------------------------
+    def _drain(self, out) -> int:
+        """Move pending bytes into ``out``; returns bytes written."""
         avail = len(self._pending) - self._pending_pos
         n = min(avail, len(out))
         if n:
@@ -105,13 +98,54 @@ class DecoderBackend:
             if self._pending_pos == len(self._pending):
                 self._pending = bytearray()
                 self._pending_pos = 0
+            elif self._pending_pos > (1 << 16):
+                del self._pending[: self._pending_pos]
+                self._pending_pos = 0
+        return n
+
+    def _compact_staged(self) -> None:
+        if self._staged_pos > (1 << 16):
+            drop = self._staged_pos
+            del self._staged[:drop]
+            self._staged_pos = 0
+            self._rebase_input(drop)
+
+    # -- generic state machine ----------------------------------------------
+    def decode(self, inp, out) -> Decode:
+        inp = memoryview(inp).cast("B") if len(inp) else memoryview(b"")
+        out = memoryview(out).cast("B") if len(out) else memoryview(bytearray())
+        if self._error is not None:
+            return Decode(len(inp), len(out), self._error)
+
+        # Drain already-pending bytes first so back-pressure releases as
+        # soon as the caller offers output space.
+        written = self._drain(out)
+        consumed = 0
+        backlog = len(self._pending) - self._pending_pos
+        if not self._finished and backlog < self.pending_high_water:
+            self._staged.extend(inp)
+            try:
+                self._pump()
+            except CodecFailure as failure:
+                self._error = DecodeError(failure.code)
+                return Decode(len(inp), len(out), self._error)
+            self._compact_staged()
+            if self._finished:
+                # Bytes past the end of the stream are not ours to consume;
+                # attribute the excess to the current input slice (the
+                # reference's zlib leaves trailing bytes in avail_in).
+                excess = len(self._staged) - self._staged_pos
+                consumed = len(inp) - min(excess, len(inp))
+            else:
+                consumed = len(inp)
+            written += self._drain(out[written:])
         if len(self._pending) - self._pending_pos > 0:
             status = DecodeStatus.NeedOutput
         elif self._finished:
             status = DecodeStatus.Finished
         else:
             status = DecodeStatus.NeedInput
-        return Decode(len(inp) - consumed, len(out) - n, status)
+        return Decode(len(inp) - consumed, len(out) - written, status)
 
     def reset(self) -> bool:
         self._init_stream_state()
@@ -144,6 +178,14 @@ class EncoderBackend:
 
     name = "?"
     block_size = 1 << 20  # 1 MiB device blocks by default
+
+    @property
+    def pending_high_water(self) -> int:
+        """Back-pressure threshold for undrained compressed output: under
+        ``Process``, input is refused (``input_remain``) once this much
+        output is waiting — a small-output-buffer caller therefore bounds
+        host memory at O(block) instead of O(stream)."""
+        return self.block_size + (1 << 16)
 
     def __init__(self) -> None:
         self._init_stream_state()
@@ -193,14 +235,38 @@ class EncoderBackend:
             is_last = final and offset >= len(view)
             self._pending.extend(self._compress(chunk, is_last))
 
+    def _drain(self, out) -> int:
+        """Move pending bytes into ``out``; returns bytes written."""
+        avail = len(self._pending) - self._pending_pos
+        n = min(avail, len(out))
+        if n:
+            out[:n] = self._pending[self._pending_pos : self._pending_pos + n]
+            self._pending_pos += n
+            if self._pending_pos == len(self._pending):
+                self._pending = bytearray()
+                self._pending_pos = 0
+            elif self._pending_pos > (1 << 16):
+                del self._pending[: self._pending_pos]
+                self._pending_pos = 0
+        return n
+
     def encode(self, inp, out, op: EncodeOp) -> Encode:
         inp = memoryview(inp).cast("B") if len(inp) else memoryview(b"")
         out = memoryview(out).cast("B") if len(out) else memoryview(bytearray())
         if self._failed or (self._finished and op is not EncodeOp.Finish):
             return Encode(len(inp), len(out), EncodeStatus.Error)
+        written = self._drain(out)
+        refused = 0
         try:
             if not self._finished:
-                self._staged.extend(inp)
+                backlog = len(self._pending) - self._pending_pos
+                if op is EncodeOp.Process and backlog >= self.pending_high_water:
+                    # Back-pressure: refuse input until the caller drains.
+                    # (Flush/Finish always accept — they finalize the stream
+                    # and the caller resumes draining via NeedOutput.)
+                    refused = len(inp)
+                else:
+                    self._staged.extend(inp)
                 if op is EncodeOp.Process:
                     # Compress only complete blocks; boundaries depend on
                     # absolute offsets so chunked == one-shot.
@@ -220,21 +286,14 @@ class EncoderBackend:
             self._failed = True
             return Encode(len(inp), len(out), EncodeStatus.Error)
 
-        avail = len(self._pending) - self._pending_pos
-        n = min(avail, len(out))
-        if n:
-            out[:n] = self._pending[self._pending_pos : self._pending_pos + n]
-            self._pending_pos += n
-            if self._pending_pos == len(self._pending):
-                self._pending = bytearray()
-                self._pending_pos = 0
+        written += self._drain(out[written:])
         if len(self._pending) - self._pending_pos > 0:
             status = EncodeStatus.NeedOutput
         elif self._finished:
             status = EncodeStatus.Finished
         else:
             status = EncodeStatus.Continue
-        return Encode(0, len(out) - n, status)
+        return Encode(refused, len(out) - written, status)
 
     def reset(self) -> bool:
         self._init_stream_state()

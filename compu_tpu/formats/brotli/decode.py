@@ -314,6 +314,8 @@ class BrotliDecoderState:
         self.bitpos = 0
         self.window_bits = None
         self.window_size = None
+        self.out_dropped = 0  # bytes trimmed off the front of self.out
+        self.sink_budget = None  # pause once this many sink bytes pend
         self.done = False
         self.out = bytearray()  # full decoded output (window source)
         self.ring = list(C.INITIAL_DISTANCES)
@@ -327,6 +329,11 @@ class BrotliDecoderState:
                 self._read_window_bits(reader)
                 self.bitpos = reader.bitpos
             while not self.done:
+                if (self.sink_budget is not None
+                        and len(self.sink) >= self.sink_budget):
+                    # Budget pause at a meta-block boundary (overshoot is
+                    # bounded by one meta-block).
+                    return self.bitpos // 8, False
                 checkpoint = reader.bitpos
                 ring_ckpt = list(self.ring)
                 out_len_ckpt = len(self.out)
@@ -334,6 +341,14 @@ class BrotliDecoderState:
                     self._read_meta_block(reader)
                     self.bitpos = reader.bitpos
                     self.sink.extend(self.out[out_len_ckpt:])
+                    # Bound the window copy: references reach at most
+                    # window_size back, so the output prefix beyond it can
+                    # be dropped (out_dropped keeps the logical length for
+                    # max_distance / dictionary-word addressing).
+                    if len(self.out) > self.window_size + (1 << 18):
+                        drop = len(self.out) - self.window_size
+                        self.out_dropped += drop
+                        del self.out[:drop]
                 except NeedMoreBits:
                     # Roll back the partial meta-block entirely.
                     self.ring = ring_ckpt
@@ -478,7 +493,7 @@ class BrotliDecoderState:
                 if distance <= 0:
                     raise CodecFailure(ERR_DISTANCE, ERRORS[ERR_DISTANCE])
 
-            max_distance = min(len(out), self.window_size)
+            max_distance = min(len(out) + self.out_dropped, self.window_size)
             # Ring buffer: updated for real backward copies with a nonzero
             # distance code; never for code 0 or dictionary references.
             if not implicit and dsym != 0 and distance <= max_distance:

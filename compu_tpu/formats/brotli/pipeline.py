@@ -55,6 +55,7 @@ class BrotliDecoder(DecoderBackend):
         del options  # decode side has no options (parity with reference)
         super().__init__()
         self._state = BrotliDecoderState()
+        self._state.sink_budget = self.pending_high_water
 
     def _pump(self) -> None:
         consumed, finished = self._state.pump(self._staged, self._staged_pos)
@@ -65,5 +66,9 @@ class BrotliDecoder(DecoderBackend):
         if finished:
             self._finished = True
 
+    def _rebase_input(self, nbytes: int) -> None:
+        self._state.bitpos -= 8 * nbytes
+
     def _do_reset(self) -> None:
         self._state = BrotliDecoderState()
+        self._state.sink_budget = self.pending_high_water

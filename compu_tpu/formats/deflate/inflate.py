@@ -87,6 +87,9 @@ class Inflate:
         self.dist_bits = 0
         self.stored_remaining = 0
         self.window = bytearray()  # last 32 KiB of decoded output
+        #: Pause decoding once this many undrained sink bytes exist
+        #: (back-pressure; None = unbounded).
+        self.sink_budget = None
         self.adler = 1
         self.crc = 0
         self.out_count = 0
@@ -321,6 +324,13 @@ class Inflate:
                     if len(out) >= 65536:
                         self._flush_tokens(out, reader)
                         out = bytearray()
+                        if (self.sink_budget is not None
+                                and len(self.sink) >= self.sink_budget):
+                            # Output budget reached: pause at this token
+                            # boundary (resumable exactly like input
+                            # starvation — bitpos is committed).
+                            checkpoint = reader.bitpos
+                            raise NeedMoreBits()
                     checkpoint = reader.bitpos
                     continue
                 if sym == 256:
@@ -362,6 +372,10 @@ class Inflate:
                 if len(out) >= 65536:
                     self._flush_tokens(out, reader)
                     out = bytearray()
+                    if (self.sink_budget is not None
+                            and len(self.sink) >= self.sink_budget):
+                        checkpoint = reader.bitpos
+                        raise NeedMoreBits()
                 checkpoint = reader.bitpos
         except NeedMoreBits:
             # Roll back to the last complete token, keep decoded output.

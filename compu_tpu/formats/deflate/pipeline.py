@@ -96,6 +96,7 @@ class DeflateDecoder(DecoderBackend):
         self.options = options
         super().__init__()
         self._inflate = Inflate(self.options.mode)
+        self._inflate.sink_budget = self.pending_high_water
 
     def _pump(self) -> None:
         try:
@@ -109,5 +110,11 @@ class DeflateDecoder(DecoderBackend):
         if finished:
             self._finished = True
 
+    def _rebase_input(self, nbytes: int) -> None:
+        # The inflate core keeps an absolute bit cursor into the staged
+        # buffer; shift it when the backend drops the consumed prefix.
+        self._inflate.bitpos -= 8 * nbytes
+
     def _do_reset(self) -> None:
         self._inflate = Inflate(self.options.mode)
+        self._inflate.sink_budget = self.pending_high_water

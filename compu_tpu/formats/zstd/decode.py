@@ -75,6 +75,7 @@ class ZstdFrameDecoder:
         self.single_segment = False
         self.skippable_remaining = 0
         self.window = bytearray()
+        self.sink_budget = None  # pause once this many sink bytes pend
         self.rep = [1, 4, 8]
         self.ll_table = None
         self.ml_table = None
@@ -89,6 +90,12 @@ class ZstdFrameDecoder:
         buf = staged
         try:
             while True:
+                if (self.sink_budget is not None
+                        and len(self.sink) >= self.sink_budget
+                        and self.phase != "done"):
+                    # Output budget reached: pause at this (resumable)
+                    # phase boundary until the caller drains.
+                    return self.pos, False
                 if self.phase == "magic":
                     self._parse_magic(buf)
                 elif self.phase == "skippable":

@@ -54,6 +54,7 @@ class ZstdDecoder(DecoderBackend):
         self.options = options or ZstdDecodeOptions()
         super().__init__()
         self._frame = ZstdFrameDecoder(window_log_max=self.options.window_log_max)
+        self._frame.sink_budget = self.pending_high_water
 
     def _pump(self) -> None:
         consumed, finished = self._frame.pump(self._staged, self._staged_pos)
@@ -64,5 +65,9 @@ class ZstdDecoder(DecoderBackend):
         if finished:
             self._finished = True
 
+    def _rebase_input(self, nbytes: int) -> None:
+        self._frame.pos -= nbytes
+
     def _do_reset(self) -> None:
         self._frame = ZstdFrameDecoder(window_log_max=self.options.window_log_max)
+        self._frame.sink_budget = self.pending_high_water

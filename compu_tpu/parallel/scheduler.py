@@ -30,6 +30,24 @@ from ..ops import checksum
 from ..formats.deflate.options import ZlibMode
 
 
+class BlockState:
+    """Per-block scheduler status, mirroring the Encode/Decode status model
+    (SURVEY §2c: the scheduler tracks per-block statuses the way the
+    reference's state machine tracks per-call statuses)."""
+
+    Ok = "ok"
+    DeviceFailed = "device_failed"   # device step failed; host fallback used
+    HostFallback = "host_fallback"   # decoded/encoded by the host oracle
+    Failed = "failed"                # both paths failed (stream aborts)
+
+
+@dataclasses.dataclass
+class BlockStatus:
+    index: int
+    state: str = BlockState.Ok
+    error: str | None = None
+
+
 @dataclasses.dataclass
 class BlockIndex:
     """Side index of a block-parallel stream (in stream order).
@@ -82,12 +100,17 @@ class BlockParallelEncoder:
     combining only.
     """
 
-    def __init__(self, block_fn, block_size: int = 1 << 20, mode: ZlibMode = ZlibMode.Gzip):
+    def __init__(self, block_fn, block_size: int = 1 << 20, mode: ZlibMode = ZlibMode.Gzip,
+                 host_fallback: bool = True):
         if mode is ZlibMode.Auto:
             raise ValueError("Auto is decode-only")
         self.block_fn = block_fn
         self.block_size = block_size
         self.mode = mode
+        #: Re-encode failed blocks on the host oracle instead of aborting.
+        self.host_fallback = host_fallback
+        #: Per-block statuses of the last encode() (BlockStatus list).
+        self.block_statuses: list[BlockStatus] = []
         from ..utils.metrics import Metrics
 
         self.metrics = Metrics()
@@ -107,15 +130,55 @@ class BlockParallelEncoder:
                 blocks[i, : len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
                 lens[i] = len(chunk)
 
-        with self.metrics.stage("device_encode"), trace_span("compu/device_encode"):
-            result = self.block_fn(blocks, lens)
+        self.block_statuses = [BlockStatus(i) for i in range(nblocks)]
         seg_index = None
-        if len(result) == 4:
-            out, out_lens, adlers, seg_index = result
-        else:
-            out, out_lens, adlers = result
-        out_lens = np.asarray(out_lens)
-        adlers = np.asarray(adlers)
+        try:
+            with self.metrics.stage("device_encode"), trace_span("compu/device_encode"):
+                result = self.block_fn(blocks, lens)
+            if len(result) == 4:
+                out, out_lens, adlers, seg_index = result
+            else:
+                out, out_lens, adlers = result
+            out_lens = np.asarray(out_lens)
+            adlers = np.asarray(adlers)
+        except Exception as exc:  # device step failed wholesale
+            if not self.host_fallback:
+                for st in self.block_statuses:
+                    st.state, st.error = BlockState.Failed, str(exc)
+                raise
+            for st in self.block_statuses:
+                st.state, st.error = BlockState.DeviceFailed, str(exc)
+            out, out_lens, adlers = [None] * nblocks, np.zeros(nblocks, np.int64), np.zeros(nblocks, np.uint32)
+            seg_index = None
+
+        # Per-block validation + host retry: a block whose metadata is
+        # implausible (empty/oversized output) is re-encoded by the host
+        # oracle so one bad block never aborts the stream.
+        cap = bs + bs // 4 + 64
+        for i in range(nblocks):
+            bad = (
+                self.block_statuses[i].state is not BlockState.Ok
+                or not (0 < int(out_lens[i]) <= cap)
+            )
+            if not bad:
+                continue
+            if not self.host_fallback:
+                self.block_statuses[i].state = BlockState.Failed
+                raise ValueError(f"block {i}: invalid device output and host_fallback=False")
+            blob, chk = _host_encode_block(
+                bytes(blocks[i, : int(lens[i])].tobytes()), self.mode
+            )
+            out = list(out)
+            out[i] = np.frombuffer(blob, dtype=np.uint8)
+            out_lens = np.asarray(out_lens).copy()
+            out_lens[i] = len(blob)
+            adlers = np.asarray(adlers).copy()
+            adlers[i] = chk
+            self.block_statuses[i].state = BlockState.HostFallback
+            if seg_index is not None:
+                # Host blocks carry no segment index; drop the device-decode
+                # side index for the whole stream (it must be complete).
+                seg_index = None
         for i in range(nblocks):
             self.metrics.record_block(int(lens[i]), int(out_lens[i]))
 
@@ -165,19 +228,40 @@ class BlockParallelDecoder:
     """
 
     def __init__(self, block_decode_fn=None, device: bool = False,
-                 block_size: int = 1 << 18):
+                 block_size: int = 1 << 18, host_fallback: bool = True):
         self._decode_block = block_decode_fn or _host_inflate_block
         self._device = device
         self._block_size = block_size
+        #: Retry device-decode failures on the host oracle per block.
+        self.host_fallback = host_fallback
+        #: Per-block statuses of the last decode() (BlockStatus list).
+        self.block_statuses: list[BlockStatus] = []
 
     def decode(self, stream: bytes, index: BlockIndex) -> bytes:
+        nblocks = len(index.raw_lengths)
+        self.block_statuses = [BlockStatus(i) for i in range(nblocks)]
         if self._device and index.segment_bits is not None:
-            return self._decode_device(stream, index)
+            try:
+                return self._decode_device(stream, index)
+            except Exception as exc:
+                if not self.host_fallback:
+                    for st in self.block_statuses:
+                        st.state, st.error = BlockState.Failed, str(exc)
+                    raise
+                for st in self.block_statuses:
+                    st.state, st.error = BlockState.DeviceFailed, str(exc)
         pieces = []
-        for off, clen, rlen in zip(
+        for i, (off, clen, rlen) in enumerate(zip(
             index.compressed_offsets, index.compressed_lengths, index.raw_lengths
-        ):
-            pieces.append(self._decode_block(stream[off : off + clen], rlen))
+        )):
+            try:
+                pieces.append(self._decode_block(stream[off : off + clen], rlen))
+                if self.block_statuses[i].state is BlockState.DeviceFailed:
+                    self.block_statuses[i].state = BlockState.HostFallback
+            except Exception as exc:
+                self.block_statuses[i].state = BlockState.Failed
+                self.block_statuses[i].error = str(exc)
+                raise
         return b"".join(pieces)
 
     DEVICE_DECODE_BATCH = 16
@@ -222,6 +306,24 @@ class BlockParallelDecoder:
                 rlen = index.raw_lengths[base + j]
                 pieces.append(flat[j * bs : j * bs + rlen].tobytes())
         return b"".join(pieces)
+
+
+def _host_encode_block(data: bytes, mode: ZlibMode) -> tuple[bytes, int]:
+    """Host-oracle encode of one block: a self-contained raw-deflate run
+    terminated by a sync flush (byte-aligned), plus the block checksum the
+    scheduler's combine algebra expects (adler32 for zlib, finalized crc32
+    for gzip/raw). Used as the per-block retry path when the device step
+    fails (SURVEY §2c: scheduler fallback mirroring Decode/Encode errors)."""
+    from ..formats.deflate.deflate_encode import DeflateStream
+    from ..formats.deflate.options import ZlibStrategy
+
+    s = DeflateStream(6, ZlibStrategy.Default)
+    blob = s.compress(data, final=False) + s.sync_flush()
+    if mode is ZlibMode.Zlib:
+        chk = checksum.adler32(data, 1)
+    else:
+        chk = checksum.crc32(data, 0)
+    return blob, chk
 
 
 def _host_inflate_block(blob: bytes, raw_len: int) -> bytes:

@@ -55,11 +55,18 @@ class Metrics:
 @contextlib.contextmanager
 def trace_span(name: str):
     """JAX profiler annotation (visible in captured traces); no-op cost when
-    no trace is active."""
+    no trace is active. Exceptions raised by the body must propagate
+    unchanged — only annotation *setup* failures fall back to a plain
+    yield (a try around the yield itself would swallow body exceptions and
+    double-yield)."""
     try:
         import jax.profiler
 
-        with jax.profiler.TraceAnnotation(name):
-            yield
+        annotation = jax.profiler.TraceAnnotation(name)
     except Exception:
+        annotation = None
+    if annotation is None:
         yield
+    else:
+        with annotation:
+            yield

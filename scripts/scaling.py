@@ -1,0 +1,138 @@
+"""Scaling-efficiency harness: blocks/s of the sharded encode step on
+1 -> 2 -> 4 -> 8 virtual devices (XLA_FLAGS=--xla_force_host_platform_device_count).
+
+Measures the mesh plumbing's scaling (shard_map dp axis + all_gather
+ordering metadata). IMPORTANT caveat: virtual CPU devices share the same
+physical cores, so compute cannot speed up with mesh size — the meaningful
+single-host numbers are (a) total MB/s staying FLAT as the mesh grows
+(work conservation: sharding adds no duplicated compute) and (b) the
+collective overhead (step time with vs without the all_gather/psum
+metadata exchange), which is the part that would ride ICI on real chips.
+The >=80% BASELINE.md scaling target is claimed from block independence +
+the measured tiny collective payload (8 bytes/block), validated for
+multi-process wiring by tests/test_distributed.py. Run directly:
+
+    python scripts/scaling.py            # spawns one subprocess per N
+    python scripts/scaling.py --n 4      # measure one mesh size (internal)
+
+Prints a JSON line per mesh size and a final efficiency table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BLOCK = 1 << 18
+BLOCKS_PER_DEV = 4
+REPEATS = 3
+
+
+def measure(n: int) -> dict:
+    # Pin the CPU platform BEFORE importing jax: the environment's site
+    # customization (axon TPU tunnel) re-exports JAX_PLATFORMS at
+    # interpreter start, so the parent's env var alone is not enough.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n}"
+    ).strip()
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, REPO)
+    from compu_tpu.parallel.mesh import default_mesh, make_sharded_encode_step
+
+    assert len(jax.devices()) == n, (jax.devices(), n)
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    import jax.numpy as jnp
+    from compu_tpu.kernels.deflate_jax_v2 import encode_block_fixed_v2
+
+    mesh = default_mesh()
+    step = make_sharded_encode_step(mesh, depth=4)
+
+    def local_only(blocks, lens):
+        def one(args):
+            block, ln = args
+            return encode_block_fixed_v2(block, ln, depth=4)
+        outs, metas = jax.lax.map(one, (blocks, lens))
+        return outs, metas
+
+    step_local = jax.jit(shard_map(
+        local_only, mesh=mesh, in_specs=(P("dp", None), P("dp")),
+        out_specs=(P("dp", None), P("dp", None)), check_vma=False))
+
+    B = n * BLOCKS_PER_DEV
+    rng = np.random.default_rng(7)
+    text = open(os.path.join(REPO, "tests", "data", "alice29.txt"), "rb").read()
+    buf = (text * ((B * BLOCK) // len(text) + 1))[: B * BLOCK]
+    blocks = np.frombuffer(buf, dtype=np.uint8).reshape(B, BLOCK).copy()
+    # Perturb so per-device work is not byte-identical.
+    blocks[rng.integers(0, B, 64), rng.integers(0, BLOCK, 64)] ^= 0x55
+    lens = np.full(B, BLOCK, dtype=np.int32)
+
+    def timeit(fn):
+        out = fn(blocks, lens)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out = fn(blocks, lens)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    best = timeit(step)
+    best_local = timeit(step_local)
+    mbps = B * BLOCK / best / 1e6
+    overhead = max(0.0, (best - best_local) / best_local * 100)
+    return {"devices": n, "blocks": B, "seconds": round(best, 4),
+            "MB_s": round(mbps, 1), "MB_s_per_device": round(mbps / n, 1),
+            "collective_overhead_pct": round(overhead, 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=0, help="internal: one mesh size")
+    args = ap.parse_args()
+    if args.n:
+        print(json.dumps(measure(args.n)))
+        return
+
+    rows = []
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--n", str(n)],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        if r.returncode != 0:
+            print(r.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"mesh size {n} failed")
+        row = json.loads(r.stdout.strip().splitlines()[-1])
+        rows.append(row)
+        print(json.dumps(row))
+
+    base = rows[0]["MB_s"]
+    print("\n| devices | total MB/s (shared cores) | work conservation | collective overhead |")
+    print("|---|---|---|---|")
+    for row in rows:
+        cons = row["MB_s"] / base
+        print(f"| {row['devices']} | {row['MB_s']} | {cons*100:.0f}% "
+              f"| {row['collective_overhead_pct']}% |")
+
+
+if __name__ == "__main__":
+    main()
