@@ -29,6 +29,7 @@ from ..ops import checksum
 from .checksum_jax import crc32_lane_registers
 from .deflate_jax import encode_block_fixed
 from .deflate_jax_v2 import encode_block_fixed_v2
+from .deflate_jax_v3 import encode_block_dyn
 
 # level -> (depth, nice, lazy) for the v1 kernel ladder.
 _LEVEL = {
@@ -65,18 +66,22 @@ def _compact(stacked: jnp.ndarray, lens: jnp.ndarray, *, cap: int) -> jnp.ndarra
 
 
 @functools.partial(
-    jax.jit, static_argnames=("depth", "cap", "with_index", "check")
+    jax.jit, static_argnames=("depth", "cap", "with_index", "check", "kernel")
 )
 def _encode_blocks_batched(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int,
-                           cap: int, with_index: bool, check: str):
-    """One jit over the whole (B, N) block matrix: lax.map of the v2 kernel
-    plus the compaction, so a batch costs ONE dispatch instead of B+1.
-    (The v2 graph lax.maps cleanly — PLAN.md; the scatter-heavy v1 does
-    not.) Returns (packed u8[B*cap+cap], metas i32[B,2], segs|None)."""
+                           cap: int, with_index: bool, check: str,
+                           kernel: str = "v3"):
+    """One jit over the whole (B, N) block matrix: lax.map of the block
+    kernel plus the compaction, so a batch costs ONE dispatch instead of
+    B+1. (These graphs lax.map cleanly — PLAN.md; the scatter-heavy v1
+    does not.) ``kernel`` picks v3 (dynamic/fixed/stored block types) or
+    v2 (fixed-Huffman only).
+    Returns (packed u8[B*cap+cap], metas i32[B,2], segs|None)."""
+    block_kernel = encode_block_dyn if kernel == "v3" else encode_block_fixed_v2
 
     def one(args):
         block, n = args
-        return encode_block_fixed_v2(
+        return block_kernel(
             block, n, depth=depth, cap=cap, with_index=with_index, check=check
         )
 
@@ -99,14 +104,15 @@ def _encode_blocks_batched(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int
 
 
 def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
-                         kernel: str = "v2", segment_index: bool = False):
+                         kernel: str = "v3", segment_index: bool = False):
     """Returns ``fn(blocks u8[B,N], lens i32[B]) -> (outs: list[np.uint8],
     out_lens[B], checks[B])`` where ``checks`` are adler32 (zlib) or crc32
     (gzip) of each block — the contract BlockParallelEncoder expects.
 
-    ``kernel='v2'`` (default) is the gather-minimal sort/MXU kernel
-    (~25x faster, content-independent); ``'v1'`` keeps the chain-walk
-    kernel (closer to the host ladder, much slower on TPU)."""
+    ``kernel='v3'`` (default) adds per-block dynamic-Huffman trees and
+    stored blocks to the gather-minimal sort/MXU kernel; ``'v2'`` is the
+    fixed-Huffman-only variant; ``'v1'`` keeps the chain-walk kernel
+    (closer to the host ladder, much slower on TPU)."""
     depth, nice, lazy = _LEVEL[max(1, min(9, level))]
 
     check = "crc" if mode is ZlibMode.Gzip else "adler"
@@ -115,27 +121,32 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
         # Fixed-Huffman worst case is 9 bits/byte (+ tiny block overhead),
         # so N + N//4 capacity is safe and trims the D2H transfer.
         cap = block.shape[0] + block.shape[0] // 4 + 64
+        if kernel == "v3":
+            return encode_block_dyn(
+                block, n, depth=min(depth, 8), cap=cap,
+                with_index=segment_index, check=check,
+            )
         if kernel == "v2":
             return encode_block_fixed_v2(
                 block, n, depth=min(depth, 8), cap=cap,
                 with_index=segment_index, check=check,
             )
-        assert not segment_index, "segment index requires the v2 kernel"
+        assert not segment_index, "segment index requires the v2/v3 kernels"
         return encode_block_fixed(block, n, depth=depth, nice=nice, lazy=lazy, cap=cap)
 
     def fn(blocks: np.ndarray, lens: np.ndarray):
         B, N = blocks.shape
         cap = N + N // 4 + 64
         blocks_dev = jax.device_put(blocks)  # one bulk upload
-        v1_gzip = kernel != "v2" and mode is ZlibMode.Gzip
+        v1_gzip = kernel not in ("v2", "v3") and mode is ZlibMode.Gzip
         crc_futs = []
-        if kernel == "v2":
+        if kernel in ("v2", "v3"):
             # Batched path: ONE dispatch for the whole block matrix
             # (kernel + compaction fused in a single jit).
             packed, meta_stack, seg_stack = _encode_blocks_batched(
                 blocks_dev, jnp.asarray(lens, jnp.int32),
                 depth=min(depth, 8), cap=cap, with_index=segment_index,
-                check=check,
+                check=check, kernel=kernel,
             )
             seg_futs = [seg_stack] if segment_index else []
         else:

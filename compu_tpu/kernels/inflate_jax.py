@@ -183,7 +183,13 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
     _, bit, outp, t_rec, bad = jax.lax.while_loop(not_done, step, init)
     t_rec = t_rec.T  # lane-major for the expansion phase
     ok = jnp.all(outp == target) & jnp.logical_not(jnp.any(bad))
+    return _expand_and_resolve(t_rec, lane, ns, ok, B=B, N=N, S=S)
 
+
+def _expand_and_resolve(t_rec, lane, ns, ok, *, B, N, S):
+    """Shared phases 2+3 of indexed decode: token-id expansion (boundary
+    scatter + cumsum), then pointer-doubling back-reference resolution.
+    ``t_rec`` is (L, SEG) packed token records from a scan phase."""
     # --- expansion: per-position token id ------------------------------
     NT = B * N
     t_start = (t_rec & jnp.uint32(0xFF)).astype(jnp.int32)  # (L, SEG)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..kernels.deflate_jax_v2 import encode_block_fixed_v2
+from ..kernels.deflate_jax_v3 import encode_block_dyn
 from ..kernels.checksum_jax import crc32_lane_registers
 
 
@@ -48,9 +48,9 @@ def make_sharded_encode_step(mesh: Mesh, *, depth: int = 8, nice: int = 128,
     def local_encode(blocks, lens):
         def one(args):
             block, n = args
-            # v2 kernel (sort-carried matching, MXU parse, matmul pack):
-            # 3x the v1 chain-walk kernel's throughput, content-independent.
-            return encode_block_fixed_v2(block, n, depth=min(depth, 8))
+            # v3 kernel: sort-carried matching, MXU parse, device-built
+            # dynamic Huffman trees, matmul pack.
+            return encode_block_dyn(block, n, depth=min(depth, 8))
 
         outs, metas = jax.lax.map(one, (blocks, lens))
         out_lens = metas[:, 0]

@@ -267,34 +267,58 @@ class BlockParallelDecoder:
     DEVICE_DECODE_BATCH = 16
 
     def _decode_device(self, stream: bytes, index: BlockIndex) -> bytes:
-        """Segment-parallel device inflate (kernels/inflate_jax.py),
-        batched DEVICE_DECODE_BATCH blocks per kernel call (amortizes
-        per-op dispatch overhead across all segment lanes)."""
+        """Segment-parallel device inflate, batched DEVICE_DECODE_BATCH
+        blocks per kernel call (amortizes per-op dispatch overhead across
+        all segment lanes). Each block's deflate header is parsed on the
+        host (tiny) into per-block code-length tables, so fixed AND
+        dynamic blocks decode through the canonical-arithmetic scan
+        (kernels/inflate_jax_dyn.py); stored blocks (incompressible data)
+        are host memcpys."""
         import jax.numpy as jnp
 
-        from ..kernels.inflate_jax import decode_blocks_indexed
+        from ..kernels.inflate_jax_dyn import (
+            decode_blocks_indexed_dyn,
+            parse_block_tables,
+        )
 
         bs = self._block_size
         cap = bs + bs // 4 + 64 + 16
         nblocks = len(index.raw_lengths)
         batch = self.DEVICE_DECODE_BATCH
         futs = []
+        host_pieces: dict[int, bytes] = {}
         for base in range(0, nblocks, batch):
             cnt = min(batch, nblocks - base)
             comps = np.zeros((batch, cap), dtype=np.uint8)
             segs = np.zeros((batch, bs // 128), dtype=np.int32)
             ns = np.zeros(batch, dtype=np.int32)
+            lit_lens = np.zeros((batch, 286), dtype=np.int32)
+            dist_lens = np.zeros((batch, 30), dtype=np.int32)
+            lit_lens[:, 0] = 1  # inert complete-ish tables for empty slots
+            lit_lens[:, 256] = 1
+            dist_lens[:, 0] = 1
+            dist_lens[:, 1] = 1
             for j in range(cnt):
                 b = base + j
                 off = index.compressed_offsets[b]
                 clen = index.compressed_lengths[b]
-                comps[j, :clen] = np.frombuffer(
-                    stream[off : off + clen], dtype=np.uint8
-                )
+                blob = stream[off : off + clen]
+                kind, lit, dist, _ = parse_block_tables(blob[:4096])
+                if kind == 0 or int(np.asarray(index.segment_bits[b])[0]) < 0:
+                    # stored block: host memcpy (no entropy decode)
+                    host_pieces[b] = _host_inflate_block(
+                        blob, index.raw_lengths[b]
+                    )
+                    ns[j] = 0  # inert device lane
+                    continue
+                comps[j, :clen] = np.frombuffer(blob, dtype=np.uint8)
                 segs[j] = np.asarray(index.segment_bits[b], dtype=np.int32)
                 ns[j] = index.raw_lengths[b]
-            out, ok = decode_blocks_indexed(
-                jnp.asarray(comps), jnp.asarray(segs), jnp.asarray(ns), n_out=bs
+                lit_lens[j] = lit
+                dist_lens[j] = dist
+            out, ok = decode_blocks_indexed_dyn(
+                jnp.asarray(comps), jnp.asarray(segs), jnp.asarray(ns),
+                jnp.asarray(lit_lens), jnp.asarray(dist_lens), n_out=bs
             )
             futs.append((out, ok, base, cnt))
         pieces = []
@@ -303,7 +327,11 @@ class BlockParallelDecoder:
                 raise ValueError("device inflate failed consistency checks")
             flat = np.asarray(out)
             for j in range(cnt):
-                rlen = index.raw_lengths[base + j]
+                b = base + j
+                if b in host_pieces:
+                    pieces.append(host_pieces[b])
+                    continue
+                rlen = index.raw_lengths[b]
                 pieces.append(flat[j * bs : j * bs + rlen].tobytes())
         return b"".join(pieces)
 
