@@ -133,6 +133,16 @@ class Interface:
         return Decoder(pipeline.DeflateDecoder(options))
 
     @staticmethod
+    def zlib_native(options=None) -> Decoder:
+        """Same format, native C++ deflate hot loop — the zlib-ng analogue
+        of the multi-backend pattern (reference: Interface::zlib_ng,
+        src/decoder/zlib_ng.rs:61-91). Raises if the native runtime is
+        unavailable (mirroring the reference's None on init failure)."""
+        from .formats.deflate import pipeline
+
+        return Decoder(pipeline.NativeDeflateDecoder(options))
+
+    @staticmethod
     def zstd(options=None) -> Decoder:
         from .formats.zstd import pipeline
 

@@ -124,20 +124,39 @@ class DecoderBackend:
         backlog = len(self._pending) - self._pending_pos
         if not self._finished and backlog < self.pending_high_water:
             self._staged.extend(inp)
-            try:
-                self._pump()
-            except CodecFailure as failure:
-                self._error = DecodeError(failure.code)
-                return Decode(len(inp), len(out), self._error)
-            self._compact_staged()
-            if self._finished:
-                # Bytes past the end of the stream are not ours to consume;
-                # attribute the excess to the current input slice (the
-                # reference's zlib leaves trailing bytes in avail_in).
-                excess = len(self._staged) - self._staged_pos
-                consumed = len(inp) - min(excess, len(inp))
-            else:
-                consumed = len(inp)
+            consumed = len(inp)
+            # Pump until the stream finishes, back-pressure engages, or the
+            # format genuinely needs more input (no progress). A single
+            # pump can stop early at its sink budget; with a large caller
+            # buffer the drain empties pending again, so keep going —
+            # otherwise the call would report NeedInput with decodable
+            # input still staged.
+            while True:
+                before_pos = self._staged_pos
+                before_avail = len(self._pending) - self._pending_pos
+                try:
+                    self._pump()
+                except CodecFailure as failure:
+                    self._error = DecodeError(failure.code)
+                    return Decode(len(inp), len(out), self._error)
+                progressed = (
+                    self._staged_pos != before_pos
+                    or len(self._pending) - self._pending_pos != before_avail
+                )
+                self._compact_staged()
+                if self._finished:
+                    # Bytes past the end of the stream are not ours to
+                    # consume; attribute the excess to the current input
+                    # slice (the reference's zlib leaves trailing bytes in
+                    # avail_in).
+                    excess = len(self._staged) - self._staged_pos
+                    consumed = len(inp) - min(excess, len(inp))
+                    break
+                written += self._drain(out[written:])
+                if not progressed:
+                    break
+                if len(self._pending) - self._pending_pos >= self.pending_high_water:
+                    break
             written += self._drain(out[written:])
         if len(self._pending) - self._pending_pos > 0:
             status = DecodeStatus.NeedOutput

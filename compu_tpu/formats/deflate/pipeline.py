@@ -118,3 +118,32 @@ class DeflateDecoder(DecoderBackend):
     def _do_reset(self) -> None:
         self._inflate = Inflate(self.options.mode)
         self._inflate.sink_budget = self.pending_high_water
+
+
+class NativeDeflateDecoder(DeflateDecoder):
+    """Same format, native (C++) deflate hot loop — the framework's zlib-ng
+    analogue: a second implementation of one format behind the same
+    Interface (reference pattern: src/decoder/zlib.rs vs zlib_ng.rs).
+    Framing + checksums stay in Python (formats/deflate/native_inflate.py);
+    raw deflate blocks decode in csrc/compu_inflate.cpp."""
+
+    name = "zlib-native"
+
+    def __init__(self, options: ZlibDecodeOptions | ZlibMode | None = None) -> None:
+        from .native_inflate import NativeInflate
+
+        if options is None:
+            options = ZlibDecodeOptions()
+        if isinstance(options, ZlibMode):
+            options = ZlibDecodeOptions(mode=options)
+        self.options = options
+        DecoderBackend.__init__(self)
+        self._inflate = NativeInflate(self.options.mode)
+        self._inflate.sink_budget = self.pending_high_water
+
+    def _rebase_input(self, nbytes: int) -> None:
+        self._inflate.pos -= nbytes
+
+    def _do_reset(self) -> None:
+        self._inflate._reset_stream()
+        self._inflate.sink_budget = self.pending_high_water

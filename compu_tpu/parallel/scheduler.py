@@ -355,13 +355,32 @@ def _host_encode_block(data: bytes, mode: ZlibMode) -> tuple[bytes, int]:
 
 
 def _host_inflate_block(blob: bytes, raw_len: int) -> bytes:
-    """Reference block decoder: raw deflate run ending in a sync flush."""
-    from ..formats.deflate.inflate import Inflate
+    """Host block decoder: raw deflate run ending in a sync flush. Uses the
+    native (C++) inflate when available, the pure-Python core otherwise."""
     from ..formats.deflate.options import ZlibMode as _M
 
-    inf = Inflate(_M.Deflate)
     # Terminate the non-final run so the state machine reaches Finished.
-    inf.pump(bytearray(blob) + bytearray([0x01, 0x00, 0x00, 0xFF, 0xFF]), 0)
+    payload = bytearray(blob) + bytearray([0x01, 0x00, 0x00, 0xFF, 0xFF])
+    try:
+        from ..formats.deflate.native_inflate import (
+            NativeInflate,
+            native_inflate_available,
+        )
+        if native_inflate_available():
+            inf = NativeInflate(_M.Deflate)
+            inf.pump(payload, 0)
+            out = bytes(inf.sink)
+            if len(out) != raw_len:
+                raise ValueError(
+                    f"block decoded {len(out)} bytes, expected {raw_len}"
+                )
+            return out
+    except RuntimeError:
+        pass
+    from ..formats.deflate.inflate import Inflate
+
+    inf = Inflate(_M.Deflate)
+    inf.pump(payload, 0)
     out = bytes(inf.sink)
     if len(out) != raw_len:
         raise ValueError(f"block decoded {len(out)} bytes, expected {raw_len}")

@@ -13,7 +13,9 @@ import pathlib
 import subprocess
 import threading
 
-_SRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc" / "compu_runtime.cpp"
+_CSRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc"
+_SRC = _CSRC / "compu_runtime.cpp"
+_SRCS = [_SRC, _CSRC / "compu_inflate.cpp"]
 _SO = _SRC.with_name("libcompu_runtime.so")
 _lock = threading.Lock()
 _lib = None
@@ -27,9 +29,13 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            srcs = [p for p in _SRCS if p.exists()]
+            if not _SO.exists() or any(
+                _SO.stat().st_mtime < p.stat().st_mtime for p in srcs
+            ):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO),
+                     *map(str, srcs)],
                     check=True,
                     capture_output=True,
                     timeout=120,
@@ -46,6 +52,18 @@ def _load():
             lib.compu_free.argtypes = [ctypes.c_void_p]
             lib.compu_alloc_size.restype = ctypes.c_size_t
             lib.compu_alloc_size.argtypes = [ctypes.c_void_p]
+            if hasattr(lib, "compu_inflate_new"):
+                lib.compu_inflate_new.restype = ctypes.c_void_p
+                lib.compu_inflate_free.argtypes = [ctypes.c_void_p]
+                lib.compu_inflate_reset.argtypes = [ctypes.c_void_p]
+                lib.compu_inflate_run.restype = ctypes.c_int
+                lib.compu_inflate_run.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_size_t,
+                    ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.POINTER(ctypes.c_size_t),
+                    ctypes.POINTER(ctypes.c_size_t),
+                ]
             _lib = lib
         except Exception:
             _lib = None

@@ -67,6 +67,24 @@ BACKENDS = [
     ("brotli", encoder.Interface.brotli, decoder.Interface.brotli, Detection.Unknown),
 ]
 
+# The native (C++) inflate backend runs the same oracle when the toolchain
+# built it (the multi-backend pattern: same format, second implementation —
+# reference src/decoder/zlib_ng.rs).
+try:
+    from compu_tpu.formats.deflate.native_inflate import native_inflate_available
+
+    if native_inflate_available():
+        def _zlib_native_dec(mode):
+            return lambda: decoder.Interface.zlib_native(mode)
+
+        BACKENDS += [
+            ("zlib-native", _zlib_enc(ZlibMode.Zlib), _zlib_native_dec(ZlibMode.Zlib), Detection.Zlib),
+            ("gzip-native", _zlib_enc(ZlibMode.Gzip), _zlib_native_dec(ZlibMode.Gzip), Detection.Gzip),
+            ("auto-native", _zlib_enc(ZlibMode.Zlib), _zlib_native_dec(ZlibMode.Auto), Detection.Zlib),
+        ]
+except Exception:
+    pass
+
 
 def roundtrip_case(enc, dec, data, expected_detection):
     """Port of the reference's encoder test_case driver."""
