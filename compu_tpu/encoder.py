@@ -128,6 +128,28 @@ class Interface:
         return Encoder(pipeline.DeflateEncoder(options))
 
     @staticmethod
+    def zlib_native(options=None) -> Encoder:
+        """Same format, native C++ deflate hot loop — the encoder half of
+        the zlib-ng analogue (reference: Interface::zlib_ng,
+        src/encoder/zlib_ng.rs:50-87). Raises if the native runtime is
+        unavailable (the reference returns None on init failure)."""
+        from .formats.deflate import pipeline
+
+        return Encoder(pipeline.NativeDeflateEncoder(options))
+
+    @staticmethod
+    def zlib_device(options=None, block_size=None) -> Encoder:
+        """TPU device implementation of the same deflate format — the
+        multi-backend pattern (reference: Interface::zlib_ng,
+        src/encoder/zlib_ng.rs:50-87, a second impl of one format behind
+        one vtable). Each 256 KiB pipeline block runs the v3 device kernel;
+        the streaming state machine, framing, and chunked==one-shot
+        invariant are identical to Interface.zlib()."""
+        from .formats.deflate import pipeline
+
+        return Encoder(pipeline.DeviceDeflateEncoder(options, block_size=block_size))
+
+    @staticmethod
     def zstd(options=None) -> Encoder:
         from .formats.zstd import pipeline
 

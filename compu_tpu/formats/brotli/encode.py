@@ -473,9 +473,19 @@ class BrotliStreamEncoder:
             max_dist = min((1 << self.window_bits) - 16, len(data))
             # Quality 10/11 buy ratio with deep chain walks (the libbrotli
             # q10/q11 role); the level-9 cost-model DP then parses them.
-            depth = 512 if self.quality >= 11 else (128 if self.quality >= 10 else 0)
+            # q10/q11 deep-match budget: a moderate hash-3 walk for near
+            # matches + a hash-6 tier whose chains contain only long-match
+            # candidates (the role libbrotli's binary-tree matcher plays).
+            # Replaces the flat depth-512 walk (30 s/MiB -> ~5 s/MiB).
+            if self.quality >= 10:
+                depth = 40 if self.quality >= 11 else 32
+                h6 = 96 if self.quality >= 11 else 64
+                patience = 24
+            else:
+                depth = h6 = patience = 0
             tok_pos, tok_len, tok_dist = tokenize(
-                arr, level, ZlibStrategy.Default, max_dist, depth=depth
+                arr, level, ZlibStrategy.Default, max_dist, depth=depth,
+                patience=patience, hash6_depth=h6,
             )
 
         # Build command list: (insert literals, copy_len, distance|None).

@@ -79,7 +79,8 @@ def _match_lengths(u64: np.ndarray, pos: np.ndarray, cand: np.ndarray, limit: np
 
 def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
                  max_dist: int = consts.WINDOW_SIZE, depth: int = 0,
-                 hash_bits: int = 16):
+                 hash_bits: int = 16, patience: int = 0,
+                 hash6_depth: int = 0):
     """Best (length, distance) per position. Returns (lens, dists) int64
     arrays; positions without a usable match have len 0. ``max_dist``
     widens the window for formats whose distances exceed DEFLATE's 32 KiB
@@ -128,18 +129,78 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
     best_len = np.zeros(m, dtype=np.int64)
     best_dist = np.zeros(m, dtype=np.int64)
     retire = np.minimum(nice, limit[:m])
-    for _ in range(depth):
-        valid = (cand >= 0) & (pos_all - cand <= max_dist)
-        idx = np.nonzero(valid & (best_len < retire))[0]
-        if idx.size == 0:
-            break
-        l = _match_lengths(u64, idx, cand[idx], limit[idx])
-        better = l > best_len[idx]
-        upd = idx[better]
-        best_len[upd] = l[better]
-        best_dist[upd] = upd - cand[upd]
-        # step chains: candidate of the candidate
-        cand = np.where(cand >= 0, prev[np.maximum(cand, 0)], -1)
+    if patience:
+        # Compacted deep walk (q10/q11 ladders): the walk operates on the
+        # ACTIVE frontier only, so per-step cost tracks the shrinking set
+        # instead of m; positions retire at nice/limit like the flat walk,
+        # or after `patience` steps with no improvement (improvements
+        # cluster at the chain front on real data, so the frontier decays
+        # geometrically while deep late finds are still kept).
+        act = np.nonzero(cand >= 0)[0]
+        cand_a = cand[act]
+        li_a = np.zeros(len(act), dtype=np.int64)
+        for step in range(depth):
+            keep = (
+                (cand_a >= 0)
+                & (act - cand_a <= max_dist)
+                & (best_len[act] < retire[act])
+                & ((step - li_a) < patience)
+            )
+            act = act[keep]
+            cand_a = cand_a[keep]
+            li_a = li_a[keep]
+            if act.size == 0:
+                break
+            l = _match_lengths(u64, act, cand_a, limit[act])
+            better = l > best_len[act]
+            upd = act[better]
+            best_len[upd] = l[better]
+            best_dist[upd] = upd - cand_a[better]
+            li_a[better] = step
+            cand_a = prev[cand_a]
+    else:
+        for _ in range(depth):
+            valid = (cand >= 0) & (pos_all - cand <= max_dist)
+            idx = np.nonzero(valid & (best_len < retire))[0]
+            if idx.size == 0:
+                break
+            l = _match_lengths(u64, idx, cand[idx], limit[idx])
+            better = l > best_len[idx]
+            upd = idx[better]
+            best_len[upd] = l[better]
+            best_dist[upd] = upd - cand[upd]
+            # step chains: candidate of the candidate
+            cand = np.where(cand >= 0, prev[np.maximum(cand, 0)], -1)
+
+    if hash6_depth and m > 8:
+        # Second tier: 6-byte-prefix hash chains. A hash-6 bucket holds only
+        # positions sharing a 6-byte prefix (minus collisions), so its chain
+        # is precisely the long-match candidate list — a depth-d walk here
+        # replaces a much deeper hash-3 walk for the far/long matches the
+        # deep-quality ladders exist to find (libbrotli's q10/11 role).
+        m6 = m - 3  # positions with a full 6-byte prefix (m = n - 2)
+        v6 = u64[:m6] & np.uint64(0xFFFFFFFFFFFF)
+        h6 = ((v6 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(47)).astype(np.uint64)
+        order6 = np.argsort(h6, kind="stable")
+        prev6 = np.full(m6, -1, dtype=np.int64)
+        same6 = h6[order6[1:]] == h6[order6[:-1]]
+        prev6[order6[1:][same6]] = order6[:-1][same6]
+        act = np.nonzero(prev6 >= 0)[0]
+        cand_a = prev6[act]
+        for _ in range(hash6_depth):
+            keep = (cand_a >= 0) & (act - cand_a <= max_dist) & (
+                best_len[act] < retire[act]
+            )
+            act = act[keep]
+            cand_a = cand_a[keep]
+            if act.size == 0:
+                break
+            l = _match_lengths(u64, act, cand_a, limit[act])
+            better = l > best_len[act]
+            upd = act[better]
+            best_len[upd] = l[better]
+            best_dist[upd] = upd - cand_a[better]
+            cand_a = prev6[cand_a]
 
     ok = best_len >= consts.MIN_MATCH
     # zlib "too far" heuristic: a 3-byte match beyond 4096 costs more than
@@ -238,12 +299,13 @@ def greedy_cover(nxt: np.ndarray) -> np.ndarray:
 
 def tokenize(data: np.ndarray, level: int, strategy: ZlibStrategy,
              max_dist: int = consts.WINDOW_SIZE, depth: int = 0,
-             hash_bits: int = 16):
+             hash_bits: int = 16, patience: int = 0, hash6_depth: int = 0):
     """Full parse: returns (token_pos, tok_len, tok_dist) where tok_len==0
     marks a literal token. Level 9 runs the cost-model optimal parse."""
     n = len(data)
     lens, dists = find_matches(data, level, strategy, max_dist, depth=depth,
-                               hash_bits=hash_bits)
+                               hash_bits=hash_bits, patience=patience,
+                               hash6_depth=hash6_depth)
     if level >= 9 and strategy in (ZlibStrategy.Default, ZlibStrategy.Filtered) and n > 16:
         return _optimal_parse(data, lens, dists)
     if LEVEL_LAZY[level] and n > 1:

@@ -82,6 +82,141 @@ class DeflateEncoder(EncoderBackend):
         self._init_checksums()
 
 
+class _DeviceDeflateStream:
+    """Deflate core on the TPU: each pipeline block runs the v3 device
+    kernel (dynamic Huffman / fixed / stored by cost), producing a
+    self-contained byte-aligned raw-deflate run ending in a sync flush —
+    so chunk outputs concatenate into one standard stream. Exposes the
+    same compress/sync_flush/align/reset surface as the host
+    DeflateStream."""
+
+    def __init__(self, level: int, block_size: int) -> None:
+        self.level = level
+        self.block_size = block_size
+
+    def reset(self) -> None:
+        pass  # stateless between blocks (window resets per block)
+
+    def compress(self, chunk: bytes, final: bool) -> bytes:
+        import numpy as np
+
+        out = b""
+        if chunk:
+            import jax.numpy as jnp
+
+            from ...kernels.block_codec import _LEVEL
+            from ...kernels.deflate_jax_v3 import encode_block_dyn
+
+            depth = min(_LEVEL[max(1, min(9, self.level))][0], 8)
+            arr = np.zeros(self.block_size, dtype=np.uint8)
+            arr[: len(chunk)] = np.frombuffer(chunk, dtype=np.uint8)
+            blob, meta = encode_block_dyn(
+                jnp.asarray(arr), jnp.int32(len(chunk)), depth=depth
+            )
+            out = np.asarray(blob)[: int(np.asarray(meta)[0])].tobytes()
+        if final:
+            # Terminate the stream: final empty stored block.
+            out += bytes([0x01, 0x00, 0x00, 0xFF, 0xFF])
+        return out
+
+    def sync_flush(self) -> bytes:
+        return b""  # every device block already ends byte-aligned at a flush
+
+    def align(self) -> bytes:
+        return b""
+
+
+class _NativeDeflateStream:
+    """Deflate core in C++ (csrc/compu_deflate.cpp): hash-chain lazy
+    matching + dynamic/fixed/stored blocks with RLE headers. Same
+    compress/sync_flush/align/reset surface as the Python DeflateStream;
+    bit state carries across chunks inside the native handle so chunked ==
+    one-shot output holds."""
+
+    def __init__(self, level: int, mem_level: int = 8) -> None:
+        import ctypes
+
+        from ...runtime import native
+
+        self._ctypes = ctypes
+        self._lib = native._load()
+        if self._lib is None or not hasattr(self._lib, "compu_deflate_new"):
+            raise RuntimeError("native deflate unavailable")
+        self.level = max(1, min(9, level))
+        self._handle = self._lib.compu_deflate_new(self.level)
+        if mem_level != 8:
+            self._lib.compu_deflate_set_hash_bits(self._handle, mem_level + 8)
+        self._mem_level = mem_level
+
+    def __del__(self):  # pragma: no cover - lifecycle
+        lib = getattr(self, "_lib", None)
+        h = getattr(self, "_handle", None)
+        if lib is not None and h:
+            lib.compu_deflate_free(h)
+            self._handle = None
+
+    def reset(self) -> None:
+        self._lib.compu_deflate_reset(self._handle)
+        if self._mem_level != 8:
+            self._lib.compu_deflate_set_hash_bits(self._handle, self._mem_level + 8)
+
+    def _run(self, chunk: bytes, flush: int, final: int) -> bytes:
+        ctypes = self._ctypes
+        cap = len(chunk) + len(chunk) // 2 + 4096
+        buf = ctypes.create_string_buffer(cap)
+        n = self._lib.compu_deflate_run(
+            self._handle, chunk, len(chunk), buf, cap, flush, final
+        )
+        return buf.raw[:n]
+
+    def compress(self, chunk: bytes, final: bool) -> bytes:
+        return self._run(chunk, 0, 1 if final else 0)
+
+    def sync_flush(self) -> bytes:
+        return self._run(b"", 1, 0)
+
+    def align(self) -> bytes:
+        return b""  # final=1 already byte-aligned the stream
+
+
+class NativeDeflateEncoder(DeflateEncoder):
+    """Same format, native (C++) deflate hot loop — the encoder half of the
+    zlib-ng multi-backend analogue (reference: Interface::zlib_ng,
+    src/encoder/zlib_ng.rs:50-87). Framing + checksums stay in Python."""
+
+    name = "zlib-native"
+
+    def __init__(self, options: ZlibOptions | None = None) -> None:
+        self.options = options or ZlibOptions()
+        EncoderBackend.__init__(self)
+        if self.options.level == 0:
+            # level 0 = stored-only; the Python core implements it directly
+            self._stream = DeflateStream(0, self.options.strategy)
+        else:
+            self._stream = _NativeDeflateStream(
+                self.options.level, self.options.mem_level
+            )
+        self._init_checksums()
+
+
+class DeviceDeflateEncoder(DeflateEncoder):
+    """TPU-backed deflate encoder behind the SAME product Interface and
+    state machine as the host backend (the multi-backend vtable pattern:
+    reference src/encoder/zlib.rs vs zlib_ng.rs — here host vs device
+    implementations of one format). Chunked == one-shot holds because
+    block boundaries depend only on absolute stream offsets."""
+
+    name = "zlib-device"
+    block_size = 1 << 18  # one v3 kernel invocation per block
+
+    def __init__(self, options: ZlibOptions | None = None,
+                 block_size: int | None = None) -> None:
+        if block_size is not None:
+            self.block_size = block_size
+        super().__init__(options)
+        self._stream = _DeviceDeflateStream(self.options.level, self.block_size)
+
+
 class DeflateDecoder(DecoderBackend):
     """Streaming inflate backend accepting foreign streams bit-exactly."""
 

@@ -77,7 +77,36 @@ def _encode_blocks_batched(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int
     does not.) ``kernel`` picks v3 (dynamic/fixed/stored block types) or
     v2 (fixed-Huffman only).
     Returns (packed u8[B*cap+cap], metas i32[B,2], segs|None)."""
-    block_kernel = encode_block_dyn if kernel == "v3" else encode_block_fixed_v2
+    if kernel == "v3":
+        # Staged batched kernel: token scan / emit lax.map over blocks,
+        # tree building vmapped (its bounded loops must not serialize
+        # per block — see encode_blocks_dyn).
+        from .deflate_jax_v3 import encode_blocks_dyn
+
+        if with_index:
+            outs, metas, segs = encode_blocks_dyn(
+                blocks, lens, depth=depth, cap=cap, with_index=True,
+                check=check,
+            )
+        else:
+            outs, metas = encode_blocks_dyn(
+                blocks, lens, depth=depth, cap=cap, with_index=False,
+                check=check,
+            )
+            segs = None
+        B = blocks.shape[0]
+        offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(metas[:, 0].astype(jnp.int32))[:-1]]
+        )
+        buf = jnp.zeros(B * cap + cap, dtype=jnp.uint8)
+
+        def body(i, buf):
+            return jax.lax.dynamic_update_slice(buf, outs[i], (offsets[i],))
+
+        packed = jax.lax.fori_loop(0, B, body, buf)
+        return packed, metas, segs
+
+    block_kernel = encode_block_fixed_v2
 
     def one(args):
         block, n = args
@@ -104,7 +133,8 @@ def _encode_blocks_batched(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int
 
 
 def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
-                         kernel: str = "v3", segment_index: bool = False):
+                         kernel: str = "v3", segment_index: bool = False,
+                         pipeline_groups: int = 1):
     """Returns ``fn(blocks u8[B,N], lens i32[B]) -> (outs: list[np.uint8],
     out_lens[B], checks[B])`` where ``checks`` are adler32 (zlib) or crc32
     (gzip) of each block — the contract BlockParallelEncoder expects.
@@ -137,17 +167,43 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
     def fn(blocks: np.ndarray, lens: np.ndarray):
         B, N = blocks.shape
         cap = N + N // 4 + 64
-        blocks_dev = jax.device_put(blocks)  # one bulk upload
         v1_gzip = kernel not in ("v2", "v3") and mode is ZlibMode.Gzip
         crc_futs = []
+        group_caps = None
         if kernel in ("v2", "v3"):
-            # Batched path: ONE dispatch for the whole block matrix
-            # (kernel + compaction fused in a single jit).
-            packed, meta_stack, seg_stack = _encode_blocks_batched(
-                blocks_dev, jnp.asarray(lens, jnp.int32),
-                depth=min(depth, 8), cap=cap, with_index=segment_index,
-                check=check, kernel=kernel,
-            )
+            G = pipeline_groups if (pipeline_groups > 1 and B % pipeline_groups == 0
+                                    and B >= 2 * pipeline_groups) else 1
+            if G > 1:
+                # Pipelined groups: group g's dispatch overlaps group g+1's
+                # H2D upload (both async; the runtime orders per-buffer).
+                gb = B // G
+                lens_j = jnp.asarray(lens, jnp.int32)
+                dev = jax.device_put(blocks[:gb])
+                parts = []
+                for g in range(G):
+                    part = _encode_blocks_batched(
+                        dev, lens_j[g * gb : (g + 1) * gb],
+                        depth=min(depth, 8), cap=cap,
+                        with_index=segment_index, check=check, kernel=kernel,
+                    )
+                    parts.append(part)
+                    if g + 1 < G:
+                        dev = jax.device_put(blocks[(g + 1) * gb : (g + 2) * gb])
+                packed = jnp.concatenate([p[0] for p in parts])
+                meta_stack = jnp.concatenate([p[1] for p in parts])
+                seg_stack = (jnp.concatenate([p[2] for p in parts])
+                             if segment_index else None)
+                # group-local offsets -> global packing handled at host
+                # assembly below via per-group flattening
+                group_caps = [p[0].shape[0] for p in parts]
+            else:
+                blocks_dev = jax.device_put(blocks)  # one bulk upload
+                packed, meta_stack, seg_stack = _encode_blocks_batched(
+                    blocks_dev, jnp.asarray(lens, jnp.int32),
+                    depth=min(depth, 8), cap=cap, with_index=segment_index,
+                    check=check, kernel=kernel,
+                )
+                group_caps = None
             seg_futs = [seg_stack] if segment_index else []
         else:
             outs, metas, seg_futs = [], [], []
@@ -180,8 +236,21 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
         seg_index = (
             small_h[2 * B :].reshape(B, -1).astype(np.int32) if segment_index else None
         )
-        total = int(out_lens.sum())
-        flat = np.asarray(packed[:total])  # sync 2 (exact bytes)
+        if kernel in ("v2", "v3") and group_caps is not None:
+            # Grouped packing: each group's buffer holds its own compacted
+            # prefix; fetch exact per-group prefixes (transfers pipeline).
+            G = len(group_caps)
+            gb = B // G
+            flats = []
+            start = 0
+            for g in range(G):
+                tg = int(out_lens[g * gb : (g + 1) * gb].sum())
+                flats.append(np.asarray(packed[start : start + tg]))
+                start += group_caps[g]
+            flat = np.concatenate(flats)
+        else:
+            total = int(out_lens.sum())
+            flat = np.asarray(packed[:total])  # sync 2 (exact bytes)
         offsets = np.concatenate([[0], np.cumsum(out_lens)])
         out = [flat[offsets[i] : offsets[i + 1]] for i in range(B)]
         if mode is ZlibMode.Gzip:

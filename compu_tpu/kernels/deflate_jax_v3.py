@@ -480,6 +480,62 @@ def _emit(data, n, tok, tables, *, cap, with_index):
     return out_u8, out_len
 
 
+def _block_checksum(data, n, check):
+    N = data.shape[0]
+    pos_all = jnp.arange(N, dtype=jnp.int32)
+    in_range = pos_all < n
+    if check == "crc":
+        return _device_crc_register(data)
+    db = jnp.where(in_range, data.astype(jnp.int32), 0)
+    s = jnp.sum(db)
+    wmod = (jnp.maximum(n - pos_all, 0) % ADLER_MOD).astype(jnp.int32)
+    group = jnp.sum((db * wmod).reshape(-1, 64), axis=1) % ADLER_MOD
+    w = jnp.sum(group) % ADLER_MOD
+    a = (1 + s) % ADLER_MOD
+    b = (n % ADLER_MOD + w) % ADLER_MOD
+    return (b.astype(jnp.uint32) << 16) | a.astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "cap", "with_index", "check"))
+def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
+                      cap: int = 0, with_index: bool = False,
+                      check: str = "adler"):
+    """Batched v3 encode over a (B, N) block matrix — the throughput path.
+
+    Stage split matters on TPU: the token scan and the bit-pack lax.map
+    over blocks (big per-block arrays, graphs that map cleanly), but the
+    tree builder VMAPs over the block axis — its bounded Kraft-fill loops
+    are ~80 sequential steps of tiny (286-wide) ops, which under lax.map
+    would serialize per block (~milliseconds x B) but under vmap run once
+    as (B, 286) steps."""
+    B, N = blocks.shape
+    if cap == 0:
+        cap = N + N // 4 + 64
+
+    def stage1(args):
+        data, n = args
+        tok, lf, df, xl, xd = _tokens_and_hist(data, n, depth=depth)
+        chk = _block_checksum(data, n, check)
+        return tok, lf, df, xl, xd, chk
+
+    tok, lf, df, xl, xd, chks = jax.lax.map(stage1, (blocks, lens))
+    tables = jax.vmap(_build_tables)(lf, df, xl, xd, lens)
+
+    def stage3(args):
+        data, n, tok_b, tables_b = args
+        return _emit(data, n, tok_b, tables_b, cap=cap, with_index=with_index)
+
+    res = jax.lax.map(stage3, (blocks, lens, tok, tables))
+    if with_index:
+        outs, out_lens, seg_bits = res
+        metas = jnp.stack([out_lens.astype(jnp.int32),
+                           chks.astype(jnp.int32)], axis=1)
+        return outs, metas, seg_bits
+    outs, out_lens = res
+    metas = jnp.stack([out_lens.astype(jnp.int32), chks.astype(jnp.int32)], axis=1)
+    return outs, metas
+
+
 @functools.partial(jax.jit, static_argnames=("depth", "cap", "with_index", "check"))
 def encode_block_dyn(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                      cap: int = 0, with_index: bool = False,
@@ -493,20 +549,7 @@ def encode_block_dyn(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     tok, lit_freq, dist_freq, xl, xd = _tokens_and_hist(data, n, depth=depth)
     tables = _build_tables(lit_freq, dist_freq, xl, xd, n)
     res = _emit(data, n, tok, tables, cap=cap, with_index=with_index)
-
-    pos_all = jnp.arange(N, dtype=jnp.int32)
-    in_range = pos_all < n
-    if check == "crc":
-        chk = _device_crc_register(data)
-    else:
-        db = jnp.where(in_range, data.astype(jnp.int32), 0)
-        s = jnp.sum(db)
-        wmod = (jnp.maximum(n - pos_all, 0) % ADLER_MOD).astype(jnp.int32)
-        group = jnp.sum((db * wmod).reshape(-1, 64), axis=1) % ADLER_MOD
-        w = jnp.sum(group) % ADLER_MOD
-        a = (1 + s) % ADLER_MOD
-        b = (n % ADLER_MOD + w) % ADLER_MOD
-        chk = (b.astype(jnp.uint32) << 16) | a.astype(jnp.uint32)
+    chk = _block_checksum(data, n, check)
     if with_index:
         out_u8, out_len, seg_bits = res
         meta = jnp.stack([out_len.astype(jnp.int32), chk.astype(jnp.int32)])

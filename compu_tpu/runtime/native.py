@@ -15,7 +15,7 @@ import threading
 
 _CSRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc"
 _SRC = _CSRC / "compu_runtime.cpp"
-_SRCS = [_SRC, _CSRC / "compu_inflate.cpp"]
+_SRCS = [_SRC, _CSRC / "compu_inflate.cpp", _CSRC / "compu_deflate.cpp"]
 _SO = _SRC.with_name("libcompu_runtime.so")
 _lock = threading.Lock()
 _lib = None
@@ -52,6 +52,19 @@ def _load():
             lib.compu_free.argtypes = [ctypes.c_void_p]
             lib.compu_alloc_size.restype = ctypes.c_size_t
             lib.compu_alloc_size.argtypes = [ctypes.c_void_p]
+            if hasattr(lib, "compu_deflate_new"):
+                lib.compu_deflate_new.restype = ctypes.c_void_p
+                lib.compu_deflate_new.argtypes = [ctypes.c_int]
+                lib.compu_deflate_free.argtypes = [ctypes.c_void_p]
+                lib.compu_deflate_reset.argtypes = [ctypes.c_void_p]
+                lib.compu_deflate_set_hash_bits.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int]
+                lib.compu_deflate_run.restype = ctypes.c_size_t
+                lib.compu_deflate_run.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+                    ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.c_int, ctypes.c_int,
+                ]
             if hasattr(lib, "compu_inflate_new"):
                 lib.compu_inflate_new.restype = ctypes.c_void_p
                 lib.compu_inflate_free.argtypes = [ctypes.c_void_p]
