@@ -345,7 +345,8 @@ def _tokens_with_history(full: np.ndarray, hist_len: int, level: int,
     return _greedy_tokens(data, lens_f[hist_len:], dists_f[hist_len:])
 
 
-def _literals_section(lits: bytes, reuse: dict | None = None) -> bytes:
+def _literals_section(lits: bytes, reuse: dict | None = None,
+                      device: bool = False) -> bytes:
     """Literals section: huffman when profitable, else raw. With ``reuse``
     (stream-state dict), a previous block's tree may be reused treeless
     (Literals_Block_Type 3 — no table description) when it covers the
@@ -398,11 +399,19 @@ def _literals_section(lits: bytes, reuse: dict | None = None) -> bytes:
             else:
                 per = (n + 3) // 4
                 counts = [per, per, per, n - 3 * per]
-                streams = []
+                chunks = []
                 off = 0
                 for c in counts:
-                    streams.append(enc.encode_stream(lits[off : off + c]))
+                    chunks.append(lits[off : off + c])
                     off += c
+                if device:
+                    # Device 4-stream Huffman pack (byte-identical to the
+                    # host writer; kernels/zstd_literals_jax.py).
+                    from ...kernels.zstd_literals_jax import encode_streams_device
+
+                    streams = encode_streams_device(chunks, enc.code, enc.nbits)
+                else:
+                    streams = [enc.encode_stream(c) for c in chunks]
                 jump = struct.pack(
                     "<HHH", len(streams[0]), len(streams[1]), len(streams[2])
                 )
@@ -613,7 +622,8 @@ def _sequences_section(seqs, reuse: dict | None = None) -> bytes:
 
 def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
                    tokenizer=None, history: bytes = b"",
-                   reuse: dict | None = None, matches=None) -> bytes:
+                   reuse: dict | None = None, matches=None,
+                   device_literals: bool = False) -> bytes:
     """One zstd block body (compressed type), or raw/RLE when better.
     Returns the full block including its 3-byte header. ``history`` is the
     window tail of previous blocks: matches may reference it (the decoder's
@@ -652,7 +662,8 @@ def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
         seqs = _promote_rep_offsets(fullarr, len(history), seqs,
                                     local.get("rep") if local else None)
     try:
-        body = _literals_section(lits, local) + _sequences_section(seqs, local)
+        body = (_literals_section(lits, local, device=device_literals)
+                + _sequences_section(seqs, local))
     except CodecFailure:
         body = None
     if body is None or len(body) >= n:
@@ -678,7 +689,8 @@ class ZstdStreamEncoder:
 
     def __init__(self, level: int = 3, checksum: bool = True,
                  window_log: int = 17, device_lz: bool = False,
-                 strategy=None) -> None:
+                 strategy=None, device_literals: bool = False) -> None:
+        self.device_literals = device_literals
         self.level = level
         # Effective parse level: strategy overrides; level 0 is the default
         # ladder rung (3); negative levels all take the fastest greedy rung.
@@ -751,6 +763,7 @@ class ZstdStreamEncoder:
                     sub, self.parse_level,
                     max_dist=min((1 << self.window_log) - 1, len(hist) + len(sub)),
                     history=hist, reuse=self._reuse, matches=gmatches,
+                    device_literals=self.device_literals,
                 )
                 self._window = (self._window + sub)[
                     -min((1 << self.window_log) - 1, MAX_BLOCK):]
@@ -774,6 +787,7 @@ class ZstdStreamEncoder:
             tokenizer=self.tokenizer,
             history=history,
             reuse=self._reuse,
+            device_literals=self.device_literals,
         )
         self._window = (self._window + data)[-window_cap:]
         if final:

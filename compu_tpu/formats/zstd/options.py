@@ -53,6 +53,9 @@ class ZstdOptions:
     #: Run the LZ match+parse stage on the device (shared v2 kernel),
     #: keeping FSE/Huffman entropy coding on the host.
     device_lz: bool = False
+    #: Encode the 4-stream Huffman literals section on the device
+    #: (byte-identical output; kernels/zstd_literals_jax.py).
+    device_literals: bool = False
 
     def __post_init__(self) -> None:
         if not -131072 <= self.level <= 22:  # ZSTD_minCLevel()..ZSTD_maxCLevel()

@@ -26,6 +26,7 @@ class ZstdEncoder(EncoderBackend):
             window_log=self.options.window_log,
             device_lz=getattr(self.options, "device_lz", False),
             strategy=self.options.strategy,
+            device_literals=getattr(self.options, "device_literals", False),
         )
 
     def _header(self) -> bytes:
