@@ -54,6 +54,7 @@ CAPBITS = 12   # max lit/len/dist code length (<= RFC's 15; keeps pack rows 4B)
 CLCAP = 7      # max code-length-code length (RFC limit)
 NLIT = 286
 NDIST = 30
+W_SLACK = 256  # output-buffer slack past cap (scatter clip zone + trailer)
 CL_ORDER = np.array(
     [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15],
     dtype=np.int32,
@@ -336,11 +337,17 @@ def _build_tables(lit_freq, dist_freq, extra_l_bits, extra_d_bits, n):
 
 
 def _emit(data, n, tok, tables, *, cap, with_index):
-    """Stage 3: map tokens through the code tables, pack bits (v2's matmul
-    pack), prepend the header via scatter-add, append EOB + sync flush;
-    stored-block override by dense select."""
+    """Stage 3: map tokens through the code tables, pack bits by direct
+    byte-lane scatter-add (adjacent fields share bytes but never bits, so
+    integer adds compose exactly), prepend the header the same way, append
+    EOB + sync flush; stored-block override by dense select.
+
+    v2/early-v3 packed via a segment-local one-hot einsum + a sequential
+    row-writer fori_loop because round-1 measurements priced scatters at
+    ~1.5 ms per 256K; re-measured (chained methodology, PLAN.md), scatters
+    are ~0.03 ms — the einsum's 268 MB one-hot materialization and the
+    2048-step serial row loop were the emit stage's entire cost."""
     N = data.shape[0]
-    pos_all = jnp.arange(N, dtype=jnp.int32)
     lit_len, lit_code = tables["lit_len"], tables["lit_code"]
     dist_len, dist_code = tables["dist_len"], tables["dist_code"]
 
@@ -373,52 +380,28 @@ def _emit(data, n, tok, tables, *, cap, with_index):
     total_bits = off_eob + eob_len
     total_bytes = (total_bits + 3 + 7) // 8  # +3: empty stored-block header
 
-    # --- segment-local matmul pack (v2's machinery) -------------------------
     S = N // SEG
-    W = 256
-    seg_bit0 = off_f0.reshape(S, SEG)[:, 0]
-    loc_f0 = off_f0.reshape(S, SEG) - seg_bit0[:, None]
-    loc_f1 = off_f1.reshape(S, SEG) - seg_bit0[:, None]
-    floc = jnp.concatenate([loc_f0, loc_f1], axis=1)
-    fvals = jnp.concatenate(
-        [f0_val.reshape(S, SEG), f1_val.reshape(S, SEG)], axis=1
-    ).astype(jnp.uint32)
-    fbits = jnp.concatenate([f0_bits.reshape(S, SEG), f1_bits.reshape(S, SEG)], axis=1)
-    shifted = jnp.where(fbits > 0, fvals << (floc & 7).astype(jnp.uint32), 0)
-    bytep = floc >> 3
 
-    oh = (
-        bytep[:, :, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (S, 2 * SEG, W), 2)
-    ).astype(jnp.bfloat16)
-    vals4 = jnp.stack(
-        [((shifted >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
-         for k in range(4)],
-        axis=-1,
-    )
-    out4 = jnp.einsum(
-        "sfb,sfk->sbk", oh, vals4, preferred_element_type=jnp.float32
-    ).astype(jnp.int32)
-    row = out4[:, :, 0]
-    for k in range(1, 4):
-        row = row + jnp.pad(out4[:, : W - k, k], ((0, 0), (k, 0)))
+    # --- token fields: 4 byte-lane scatter-adds -----------------------------
+    fvals = jnp.concatenate([f0_val, f1_val]).astype(jnp.uint32)
+    fbits = jnp.concatenate([f0_bits, f1_bits])
+    foffs = jnp.concatenate([off_f0, off_f1])
+    shifted = jnp.where(fbits > 0, fvals << (foffs & 7).astype(jnp.uint32), 0)
+    bytep = jnp.where(fbits > 0, foffs >> 3, cap + W_SLACK - 1)
+    out = jnp.zeros(cap + W_SLACK, dtype=jnp.int32)
+    for k in range(4):  # field <= 25 bits + 7 phase = 32 bits = 4 bytes
+        out = out.at[jnp.clip(bytep + k, 0, cap + W_SLACK - 1)].add(
+            ((shifted >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        )
 
-    r = (seg_bit0 & 7)[:, None]
-    prev = jnp.pad(row[:, :-1], ((0, 0), (1, 0)))
-    row_sh = ((row << r) | (prev >> (8 - r))) & 0xFF
-    gbyte = seg_bit0 >> 3
-
-    def write_row(s, buf):
-        return jax.lax.dynamic_update_slice(buf, row_sh[s, 1:], (gbyte[s] + 1,))
-
-    out = jax.lax.fori_loop(0, S, write_row, jnp.zeros(cap + W, dtype=jnp.int32))
-
-    # --- header + boundary bytes + EOB (scatter-add, bit-disjoint) ----------
+    # --- header + EOB (same scatter-add; bit-disjoint with tokens) ----------
     hdr_vals, hdr_bits = tables["hdr_vals"], tables["hdr_bits"]
     H = hdr_vals.shape[0]
     hoff = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(hdr_bits)])[:H]
-    hshift = (hdr_vals << (hoff & 7).astype(jnp.uint32))
+    hshift = jnp.where(hdr_bits > 0,
+                       hdr_vals << (hoff & 7).astype(jnp.uint32),
+                       jnp.uint32(0))
     hbyte = hoff >> 3
     # header fields are <= 17 bits + 7 phase -> 3 bytes
     hidx = jnp.concatenate([hbyte, hbyte + 1, hbyte + 2])
@@ -427,26 +410,23 @@ def _emit(data, n, tok, tables, *, cap, with_index):
         ((hshift >> 8) & 0xFF).astype(jnp.int32),
         ((hshift >> 16) & 0xFF).astype(jnp.int32),
     ])
-    hval = jnp.where(jnp.concatenate([hdr_bits > 0] * 3), hval, 0)
 
     eob_code = tables["lit_code"][256]
     eob_shift = (off_eob & 7).astype(jnp.uint32)
     eob_v = eob_code.astype(jnp.uint32) << eob_shift
     add_idx = jnp.concatenate([
-        gbyte,
         hidx,
         (off_eob >> 3).reshape(1),
         (off_eob >> 3).reshape(1) + 1,
         (off_eob >> 3).reshape(1) + 2,
     ])
     add_val = jnp.concatenate([
-        row_sh[:, 0],
         hval,
         (eob_v & 0xFF).astype(jnp.int32).reshape(1),
         ((eob_v >> 8) & 0xFF).astype(jnp.int32).reshape(1),
         ((eob_v >> 16) & 0xFF).astype(jnp.int32).reshape(1),
     ])
-    out = out.at[jnp.clip(add_idx, 0, cap + W - 1)].add(add_val)
+    out = out.at[jnp.clip(add_idx, 0, cap + W_SLACK - 1)].add(add_val)
     # sync flush: empty stored block (LEN=0 NLEN=FFFF), byte-aligned
     out = out.at[total_bytes].set(0)
     out = out.at[total_bytes + 1].set(0)
@@ -456,7 +436,7 @@ def _emit(data, n, tok, tables, *, cap, with_index):
 
     # --- stored override -----------------------------------------------------
     use_stored = tables["use_stored"]
-    stored_buf, stored_n = _stored_block(data, n, cap + W)
+    stored_buf, stored_n = _stored_block(data, n, cap + W_SLACK)
     # Sync flush after a stored block is byte-aligned, so the empty stored
     # block's 3-bit header + 5 pad bits form their own 0x00 byte before
     # LEN=0/NLEN=FFFF (the Huffman path folds those 3 bits into the EOB
@@ -512,13 +492,15 @@ def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
     if cap == 0:
         cap = N + N // 4 + 64
 
-    def stage1(args):
-        data, n = args
+    def stage1(data, n):
         tok, lf, df, xl, xd = _tokens_and_hist(data, n, depth=depth)
         chk = _block_checksum(data, n, check)
         return tok, lf, df, xl, xd, chk
 
-    tok, lf, df, xl, xd, chks = jax.lax.map(stage1, (blocks, lens))
+    # vmap (not lax.map): the dominant op is the sort-carried match, and
+    # batched sorts run far cheaper than B sequential sorts (measured:
+    # 8x32K batched ~ one 256K sort); all other stage-1 ops batch densely.
+    tok, lf, df, xl, xd, chks = jax.vmap(stage1)(blocks, lens)
     tables = jax.vmap(_build_tables)(lf, df, xl, xd, lens)
 
     def stage3(args):
