@@ -45,9 +45,8 @@ from .deflate_jax import (
     ADLER_MOD,
 )
 
-SEG = 128          # parse segment (matches clip here; MXU-sized)
+SEG = 128          # segment granularity for indexed (segment-parallel) blocks
 WCAP = 32          # bytes measured per hash-chain candidate
-RUN_CAP = 255      # distance-1 run match cap
 
 
 def _u32_words(data: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -133,13 +132,72 @@ def _fixed_fields(data, mlen, dclip, is_match_tok, is_lit):
     return f0_val, f0_bits, f1_val, f1_bits
 
 
+def records_cover(step_arr: jnp.ndarray, dist_arr: jnp.ndarray,
+                  n: jnp.ndarray, *, clip_seg: bool):
+    """Records-with-trim token cover — dense scans only, no matmuls or
+    gathers. Returns (is_tok, tok_len, tok_dist) per position.
+
+    Key insight: a DEFLATE match may be TRUNCATED AT ITS END and stay
+    valid, so an exact greedy chase is unnecessary. Let
+    e[i] = i + step[i] (match end, or i+1 for a literal). A position is a
+    *record* iff e[i] strictly exceeds every earlier end (exclusive
+    cummax). Records emit at their own positions, truncated at the next
+    record: token k = [p_k, min(e_k, p_{k+1})). This tiles [0, n) exactly:
+    p_{k+1} <= e_k always, because the position q = e_k would itself
+    satisfy e[q] >= q+1 > e_k = cummax_before(q) and hence be a record.
+    Truncation-by-next-record is lazy matching in disguise (the later,
+    farther-reaching match wins the overlap). Records reach at least as
+    far per token as the greedy chase.
+
+    Cost: one cummax + one reversed cummin + rolls — a handful of dense
+    passes over i32[N]. The alternatives measured on TPU (chained,
+    16x256 KiB batch): one-hot jump-matrix squaring on the MXU
+    ~40 ms/batch; binary-lifting pointer-doubling ~1500 ms/batch (element
+    gathers run ~10 ns/elem).
+
+    ``clip_seg`` additionally clips steps at SEG boundaries, which makes
+    every segment start a record — required by the segment-index decode
+    path; costs ratio (matches stop at 128 instead of 258)."""
+    N = step_arr.shape[0]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    step = jnp.maximum(step_arr, 1)
+    if clip_seg:
+        seg_rem = SEG - (pos & (SEG - 1))
+        step = jnp.minimum(step, seg_rem)
+    e = pos + step
+    m_exc = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jax.lax.cummax(e)[:-1]])
+    rec = e > m_exc                                  # pos 0 is always a record
+
+    # next record strictly after each position (N past the last one)
+    rec_pos = jnp.where(rec, pos, N)
+    next_rec = jnp.concatenate(
+        [jax.lax.cummin(rec_pos, reverse=True)[1:],
+         jnp.full((1,), N, jnp.int32)])
+    span = jnp.minimum(e, next_rec) - pos            # truncated token length
+    short = span < consts.MIN_MATCH
+    # a short (span 1-2) record emits literals over its whole interval
+    second_lit = jnp.concatenate(
+        [jnp.zeros(1, dtype=bool), (rec & short & (span == 2))[:-1]])
+    is_tok = (rec | second_lit) & (pos < n)
+    tok_len = jnp.where(rec & ~short, span, 0)
+    tok_dist = jnp.where(rec & ~short, dist_arr, 0)
+    return is_tok, tok_len, tok_dist
+
+
 def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                     max_dist: int = consts.WINDOW_SIZE, max_len: int = consts.MAX_MATCH,
-                    parse_iters: int = 0):
-    """Shared device LZ stage: sort-carried matching + run extension + MXU
-    segment parse. Returns (is_tok bool[N], best_len i32[N], best_dist
-    i32[N]) — the token cover all three formats consume (DEFLATE directly
-    on device; zstd/brotli through their host entropy stages)."""
+                    clip_seg: bool = True):
+    """Shared device LZ stage: sort-carried matching + chain/run extension
+    + MXU greedy cover. Returns (is_tok bool[N], best_len i32[N],
+    best_dist i32[N]) — the token cover all three formats consume (DEFLATE
+    directly on device; zstd/brotli through their host entropy stages).
+
+    With ``clip_seg`` matches clip at SEG boundaries so every segment
+    starts on a token boundary (segment-index decode / v2 einsum pack);
+    without it matches run to the 258 format limit. Returned lengths are
+    the cover's TRIMMED token lengths (see records_cover) — only positions
+    where ``is_tok`` holds carry meaning."""
     N = data.shape[0]
     pos_all = jnp.arange(N, dtype=jnp.int32)
     in_range = pos_all < n
@@ -176,14 +234,26 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
         (ps, best_len_s, best_dist_s), num_keys=1, is_stable=True
     )
 
+    # --- chain extension: contiguous same-distance full-window matches
+    # merge by log-doubling on dense rolls (a match that exhausted its
+    # WCAP-byte measurement window continues through the next position's
+    # match when the distances agree).
+    for k in (WCAP, 2 * WCAP, 4 * WCAP):
+        cond = ((best_len == k) & (jnp.roll(best_dist, -k) == best_dist)
+                & (jnp.roll(best_len, -k) > 0) & (pos_all + k < N))
+        best_len = jnp.where(
+            cond, jnp.minimum(k + jnp.roll(best_len, -k), consts.MAX_MATCH),
+            best_len,
+        )
+
     # --- run extension: distance-1 matches via log-doubling ------------
     e = (data == jnp.roll(data, -1)) & (pos_all < n - 1)
     run = e.astype(jnp.int32)
     step = 1
-    while step < RUN_CAP:
+    while step < consts.MAX_MATCH:
         run = run + jnp.where(run == step, jnp.roll(run, -step), 0)
         step *= 2
-    run = jnp.minimum(run, RUN_CAP)
+    run = jnp.minimum(run, consts.MAX_MATCH)
     # match at i with dist 1 has length run[i-1]; express via roll.
     run_len = jnp.roll(run, 1).at[0].set(0)
     use_run = run_len > best_len
@@ -192,9 +262,7 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
 
     # --- heuristics ----------------------------------------------------
     limit = jnp.minimum(n - pos_all, jnp.int32(max_len))
-    # clip to segment end (parse is segment-local)
-    seg_rem = SEG - (pos_all & (SEG - 1))
-    best_len = jnp.minimum(jnp.minimum(best_len, limit), seg_rem)
+    best_len = jnp.minimum(best_len, limit)
     best_len = jnp.where(in_range, best_len, 0)
     drop = (best_len == consts.MIN_MATCH) & (best_dist > 4096)
     best_len = jnp.where(drop, 0, best_len)
@@ -202,27 +270,9 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     best_len = jnp.where(nxt_len > best_len, 0, best_len)  # lazy demote
     take = best_len >= consts.MIN_MATCH
 
-    # --- 4. MXU segment parse ------------------------------------------
-    S = N // SEG
+    # --- 4. records-with-trim cover (dense scans) ------------------------
     step_arr = jnp.where(take, best_len, 1)
-    local = pos_all & (SEG - 1)
-    nxt_local = jnp.minimum(local + step_arr, SEG)  # SEG = off the end
-    nl = nxt_local.reshape(S, SEG)
-    cols = jnp.arange(SEG, dtype=jnp.int32)
-    jmat = (nl[:, :, None] == cols[None, None, :]).astype(jnp.bfloat16)
-    reach = jnp.zeros((S, 1, SEG), dtype=jnp.float32).at[:, 0, 0].set(1.0)
-    iters = parse_iters if parse_iters else int(np.ceil(np.log2(SEG)))
-    for _ in range(iters):
-        hop = jnp.einsum(
-            "sij,sjk->sik", reach.astype(jnp.bfloat16), jmat,
-            preferred_element_type=jnp.float32,
-        )
-        reach = jnp.minimum(reach + hop, 1.0)
-        jmat = jnp.einsum(
-            "sij,sjk->sik", jmat, jmat, preferred_element_type=jnp.bfloat16
-        )
-    is_tok = (reach[:, 0, :] > 0.5).reshape(N) & in_range
-    return is_tok, best_len, best_dist
+    return records_cover(step_arr, best_dist, n, clip_seg=clip_seg)
 
 
 @functools.lru_cache(maxsize=8)
@@ -270,14 +320,16 @@ def _device_crc_register(data: jnp.ndarray) -> jnp.ndarray:
 def device_tokens(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                   max_dist: int = consts.WINDOW_SIZE):
     """Jitted export of the shared LZ stage for the zstd/brotli hybrid
-    pipelines (device match+parse, host entropy coding)."""
-    return match_and_parse(data, n, depth=depth, max_dist=max_dist)
+    pipelines (device match+parse, host entropy coding). Unclipped cover —
+    the consumers impose no segment structure."""
+    return match_and_parse(data, n, depth=depth, max_dist=max_dist,
+                           clip_seg=False)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "cap", "parse_iters",
+@functools.partial(jax.jit, static_argnames=("depth", "cap",
                                               "with_index", "check"))
 def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
-                          cap: int = 0, parse_iters: int = 0,
+                          cap: int = 0,
                           with_index: bool = False, check: str = "adler"):
     """v2 block encode. Returns (out_u8[cap], meta_i32[2]=[len, check]) and,
     with ``with_index``, the per-segment bit offsets (every SEG-byte output
@@ -285,16 +337,13 @@ def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     so the offsets make self-produced blocks segment-parallel to decode).
     ``check`` selects the meta checksum: "adler" (zlib) or "crc" (gzip; the
     raw init-0 register of the full padded block — host strips the pad with
-    crc_unshift). ``parse_iters`` overrides the parse-doubling iteration
-    count (timing experiments only; fewer than log2(SEG) is invalid)."""
+    crc_unshift)."""
     N = data.shape[0]
     if cap == 0:
         cap = N + N // 4 + 64
     pos_all = jnp.arange(N, dtype=jnp.int32)
     in_range = pos_all < n
-    is_tok, best_len, best_dist = match_and_parse(
-        data, n, depth=depth, parse_iters=parse_iters
-    )
+    is_tok, best_len, best_dist = match_and_parse(data, n, depth=depth)
     take = best_len >= consts.MIN_MATCH
 
     # --- 5. fixed-Huffman fields (closed-form, gather-free) --------------

@@ -195,31 +195,30 @@ def _token_syms(data, mlen, dclip):
 
 def _stored_block(data: jnp.ndarray, n: jnp.ndarray, cap: int) -> tuple:
     """Stored-block emission: ceil(n/65535) chunks, each 5-byte header +
-    raw bytes, byte-aligned from the block start. Returns (buf, nbytes)."""
+    raw bytes, byte-aligned from the block start. Returns (buf, nbytes).
+
+    Chunk starts are STATIC (only the last chunk is partial, and it sits
+    at the same static offset), so the buffer is a static concat of
+    [5-byte header, data slice] pieces with a dense j < total mask — no
+    element gather (a 330K-element gather costs ~3 ms on TPU)."""
     N = data.shape[0]
     CH = 65535
-    STRIDE = CH + 5
-    # Dense formulation: output position j belongs to chunk c = j // STRIDE
-    # (all chunks before the last are full, so offsets are closed-form);
-    # j % STRIDE < 5 selects the chunk header, else a data gather. No
-    # dynamic slices — jax clamps out-of-range dynamic_slice starts, which
-    # silently relocates writes (the bug this replaced).
-    j = jnp.arange(cap, dtype=jnp.int32)
-    c = j // STRIDE
-    r = j % STRIDE
-    take_c = jnp.clip(n - c * CH, 0, CH)
-    nlen_c = take_c ^ 0xFFFF
-    hdr_val = jnp.select(
-        [r == 0, r == 1, r == 2, r == 3],
-        [jnp.zeros_like(j), take_c & 0xFF, (take_c >> 8) & 0xFF, nlen_c & 0xFF],
-        (nlen_c >> 8) & 0xFF,
-    )
-    src = c * CH + (r - 5)
-    payload = data[jnp.clip(src, 0, N - 1)].astype(jnp.int32)
+    pieces = []
+    for c in range((N + CH - 1) // CH):
+        take_c = jnp.clip(n - c * CH, 0, CH)
+        nlen_c = take_c ^ 0xFFFF
+        hdr = jnp.stack([
+            jnp.int32(0), take_c & 0xFF, (take_c >> 8) & 0xFF,
+            nlen_c & 0xFF, (nlen_c >> 8) & 0xFF,
+        ])
+        pieces.append(hdr)
+        pieces.append(data[c * CH : (c + 1) * CH].astype(jnp.int32))
+    buf = jnp.concatenate(pieces)
+    buf = jnp.pad(buf, (0, cap - buf.shape[0]))
     nchunks = (n + CH - 1) // CH
     total = n + 5 * nchunks
-    val = jnp.where(r < 5, hdr_val, payload)
-    buf = jnp.where(j < total, val, 0)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    buf = jnp.where(j < total, buf, 0)
     return buf, total
 
 
@@ -227,12 +226,32 @@ def _stored_block(data: jnp.ndarray, n: jnp.ndarray, cap: int) -> tuple:
 # Main kernel
 # ---------------------------------------------------------------------------
 
-def _tokens_and_hist(data, n, *, depth):
+def _hist_mxu(sym: jnp.ndarray, mask: jnp.ndarray, nbins: int) -> jnp.ndarray:
+    """Masked histogram as ONE MXU matmul: split the bin index into
+    (q, r) = (sym >> 4, sym & 15) and contract two one-hot factors over
+    the position axis — hist2d[q, r] = sum_i mask_i [q_i==q][r_i==r].
+    Counts accumulate exactly in f32 (<= 2^24). A direct scatter-add costs
+    ~2.3 ms per 256K updates on TPU (~10 ns/elem); this form is dense."""
+    Q = (nbins + 15) // 16
+    q = sym >> 4
+    r = sym & 15
+    a = ((q[:, None] == jnp.arange(Q, dtype=jnp.int32)[None, :])
+         & mask[:, None]).astype(jnp.bfloat16)
+    b = (r[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    h2 = jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return h2.reshape(-1)[:nbins].astype(jnp.int32)
+
+
+def _tokens_and_hist(data, n, *, depth, clip_seg=False):
     """Stage 1: LZ tokens + per-block symbol histograms (device)."""
     N = data.shape[0]
     pos_all = jnp.arange(N, dtype=jnp.int32)
     in_range = pos_all < n
-    is_tok, best_len, best_dist = match_and_parse(data, n, depth=depth)
+    is_tok, best_len, best_dist = match_and_parse(
+        data, n, depth=depth, clip_seg=clip_seg
+    )
     take = best_len >= consts.MIN_MATCH
     is_match_tok = is_tok & take
     is_lit = is_tok & ~take
@@ -241,13 +260,9 @@ def _tokens_and_hist(data, n, *, depth):
     lsym, e_l, lextra, dsym, e_d, dextra = _token_syms(data, mlen, dclip)
 
     sym = jnp.where(is_match_tok, lsym, data.astype(jnp.int32))
-    lit_freq = jnp.zeros(NLIT, jnp.int32).at[
-        jnp.where(is_tok, sym, NLIT - 1)
-    ].add(jnp.where(is_tok, 1, 0))
+    lit_freq = _hist_mxu(sym, is_tok, NLIT)
     lit_freq = lit_freq.at[256].add(1)  # EOB
-    dist_freq = jnp.zeros(NDIST, jnp.int32).at[
-        jnp.where(is_match_tok, dsym, 0)
-    ].add(jnp.where(is_match_tok, 1, 0))
+    dist_freq = _hist_mxu(dsym, is_match_tok, NDIST)
     extra_l_bits = jnp.sum(jnp.where(is_match_tok, e_l, 0))
     extra_d_bits = jnp.sum(jnp.where(is_match_tok, e_d, 0))
     tok = dict(is_tok=is_tok, is_match=is_match_tok, is_lit=is_lit, sym=sym,
@@ -337,16 +352,20 @@ def _build_tables(lit_freq, dist_freq, extra_l_bits, extra_d_bits, n):
 
 
 def _emit(data, n, tok, tables, *, cap, with_index):
-    """Stage 3: map tokens through the code tables, pack bits by direct
-    byte-lane scatter-add (adjacent fields share bytes but never bits, so
-    integer adds compose exactly), prepend the header the same way, append
-    EOB + sync flush; stored-block override by dense select.
+    """Stage 3: map tokens through the code tables, pack bits via a
+    segment-local one-hot einsum (MXU), shift rows to their global bit
+    phase, lay them down with ascending dynamic_update_slice writes, and
+    add boundary bytes / header / EOB with one tiny scatter-add;
+    stored-block override by dense select.
 
-    v2/early-v3 packed via a segment-local one-hot einsum + a sequential
-    row-writer fori_loop because round-1 measurements priced scatters at
-    ~1.5 ms per 256K; re-measured (chained methodology, PLAN.md), scatters
-    are ~0.03 ms — the einsum's 268 MB one-hot materialization and the
-    2048-step serial row loop were the emit stage's entire cost."""
+    The pack's one-hot is SPLIT: a segment-local byte position p < 256
+    factors as (q, r) = (p >> 4, p & 15), and the packed rows come from
+    one einsum contracting two narrow one-hots — 16-wide q one-hot and a
+    (16x4)-wide r-one-hot x byte-lane-value factor — instead of a 256-wide
+    one-hot (~4x less HBM traffic) or full-buffer scatter-adds (512K-update
+    scatters measured ~2-10 ms each; the whole scatter emit was ~38 ms per
+    16-block batch). Adjacent fields share bytes but never bits, so the
+    f32 sums are exact (<= 255 per byte)."""
     N = data.shape[0]
     lit_len, lit_code = tables["lit_len"], tables["lit_code"]
     dist_len, dist_code = tables["dist_len"], tables["dist_code"]
@@ -381,18 +400,79 @@ def _emit(data, n, tok, tables, *, cap, with_index):
     total_bytes = (total_bits + 3 + 7) // 8  # +3: empty stored-block header
 
     S = N // SEG
+    W = 256   # max row content bytes per segment (worst case 223)
+    W2 = 512  # row width incl. the fine (intra-slot) byte offset
 
-    # --- token fields: 4 byte-lane scatter-adds -----------------------------
-    fvals = jnp.concatenate([f0_val, f1_val]).astype(jnp.uint32)
-    fbits = jnp.concatenate([f0_bits, f1_bits])
-    foffs = jnp.concatenate([off_f0, off_f1])
-    shifted = jnp.where(fbits > 0, fvals << (foffs & 7).astype(jnp.uint32), 0)
-    bytep = jnp.where(fbits > 0, foffs >> 3, cap + W_SLACK - 1)
-    out = jnp.zeros(cap + W_SLACK, dtype=jnp.int32)
-    for k in range(4):  # field <= 25 bits + 7 phase = 32 bits = 4 bytes
-        out = out.at[jnp.clip(bytep + k, 0, cap + W_SLACK - 1)].add(
-            ((shifted >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.int32)
-        )
+    # --- field positions: segment-local bits + fine byte offset -------------
+    # Each segment's fields land in a W2-wide row at byte
+    # (local_bits >> 3) + (segment's global byte & (W-1)) < W2; the row is
+    # then ADDED into the output at the segment's coarse 256-byte slot.
+    # Every overlap (boundary bytes between consecutive rows, rows sharing
+    # a slot) is bit-disjoint, so sums compose exactly — no sequential
+    # laydown, no boundary special case.
+    seg_bit0 = off_f0.reshape(S, SEG)[:, 0]
+    gbyte = seg_bit0 >> 3
+    fine = gbyte & (W - 1)
+    qrow = gbyte >> 8
+    loc_f0 = off_f0.reshape(S, SEG) - seg_bit0[:, None]
+    loc_f1 = off_f1.reshape(S, SEG) - seg_bit0[:, None]
+    floc = jnp.concatenate([loc_f0, loc_f1], axis=1)          # (S, 2*SEG)
+    fvals = jnp.concatenate(
+        [f0_val.reshape(S, SEG), f1_val.reshape(S, SEG)], axis=1
+    ).astype(jnp.uint32)
+    fbits = jnp.concatenate(
+        [f0_bits.reshape(S, SEG), f1_bits.reshape(S, SEG)], axis=1
+    )
+    shifted = jnp.where(fbits > 0, fvals << (floc & 7).astype(jnp.uint32), 0)
+    bytep = jnp.clip((floc >> 3) + fine[:, None], 0, W2 - 1)   # (S, 2*SEG)
+
+    # --- q/r-split one-hot pack on the MXU -----------------------------------
+    # A byte position p < 512 factors as (q, r) = (p >> 4, p & 15); the
+    # packed rows come from ONE einsum contracting two narrow one-hots
+    # (32-wide q; 16-wide r crossed with the 4 byte-lane values) instead
+    # of a 512-wide one-hot or full-buffer scatter-adds (512K-update
+    # scatters measured ~2-10 ms each on TPU). Byte values <= 255 are
+    # exact in bf16; per-byte sums <= 255 (bit-disjoint) are exact in f32.
+    qv = bytep >> 4
+    rv = bytep & 15
+    a = (qv[:, :, None]
+         == jax.lax.broadcasted_iota(jnp.int32, (S, 2 * SEG, W2 // 16), 2)
+         ).astype(jnp.bfloat16)                                # (S, 2*SEG, 32)
+    val4 = jnp.stack(
+        [((shifted >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+         for k in range(4)],
+        axis=-1,
+    )                                                          # (S, 2*SEG, 4)
+    b = ((rv[:, :, None]
+          == jax.lax.broadcasted_iota(jnp.int32, (S, 2 * SEG, 16), 2)
+          ).astype(jnp.bfloat16)[:, :, :, None] * val4[:, :, None, :]
+         ).reshape(S, 2 * SEG, 64)                             # r one-hot x lanes
+    out1 = jnp.einsum(
+        "sfq,sfv->sqv", a, b, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)                                        # (S, 32, 64)
+    out4 = out1.reshape(S, W2 // 16, 16, 4).reshape(S, W2, 4)
+    row = out4[:, :, 0]
+    for k in range(1, 4):
+        row = row + jnp.pad(out4[:, : W2 - k, k], ((0, 0), (k, 0)))
+
+    # --- shift rows to their global bit phase --------------------------------
+    rphase = (seg_bit0 & 7)[:, None]
+    prev = jnp.pad(row[:, :-1], ((0, 0), (1, 0)))
+    row_sh = ((row << rphase) | (prev >> (8 - rphase))) & 0xFF
+
+    # --- coarse placement: one-hot slot matmul + overlap-add ----------------
+    QN = (cap + W_SLACK) // W + 2
+    oh = (qrow[:, None]
+          == jax.lax.broadcasted_iota(jnp.int32, (S, QN), 1)
+          ).astype(jnp.bfloat16)                               # (S, QN)
+    slots = jnp.einsum(
+        "sj,sq->qj", row_sh.astype(jnp.bfloat16), oh,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)                                        # (QN, W2)
+    flat_lo = slots[:, :W].reshape(-1)                         # (QN*W,)
+    flat_hi = slots[:, W:].reshape(-1)
+    out = (jnp.pad(flat_lo, (0, W))
+           + jnp.pad(flat_hi, (W, 0)))[: cap + W_SLACK]
 
     # --- header + EOB (same scatter-add; bit-disjoint with tokens) ----------
     hdr_vals, hdr_bits = tables["hdr_vals"], tables["hdr_bits"]
@@ -493,7 +573,9 @@ def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
         cap = N + N // 4 + 64
 
     def stage1(data, n):
-        tok, lf, df, xl, xd = _tokens_and_hist(data, n, depth=depth)
+        tok, lf, df, xl, xd = _tokens_and_hist(
+            data, n, depth=depth, clip_seg=with_index
+        )
         chk = _block_checksum(data, n, check)
         return tok, lf, df, xl, xd, chk
 
@@ -528,7 +610,9 @@ def encode_block_dyn(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     N = data.shape[0]
     if cap == 0:
         cap = N + N // 4 + 64
-    tok, lit_freq, dist_freq, xl, xd = _tokens_and_hist(data, n, depth=depth)
+    tok, lit_freq, dist_freq, xl, xd = _tokens_and_hist(
+        data, n, depth=depth, clip_seg=with_index
+    )
     tables = _build_tables(lit_freq, dist_freq, xl, xd, n)
     res = _emit(data, n, tok, tables, cap=cap, with_index=with_index)
     chk = _block_checksum(data, n, check)
