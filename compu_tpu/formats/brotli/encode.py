@@ -214,12 +214,33 @@ class PrefixWriter:
 # (insert_hi, copy_hi) pairs per range index (units of 8 codes).
 _RANGE_PAIRS = {(C.INSERT_RANGE_LUT[i] >> 3, C.COPY_RANGE_LUT[i] >> 3): i
                 for i in range(9)}
+# Dense (-1 = invalid) LUT over (insert_code >> 3, copy_code >> 3).
+_RANGE_LUT = np.full((4, 4), -1, dtype=np.int64)
+for _pair, _i in _RANGE_PAIRS.items():
+    _RANGE_LUT[_pair] = _i
 
 
 def _length_code(bases, extras, value):
     idx = int(np.searchsorted(bases, value, side="right")) - 1
     while idx + 1 < len(bases) and bases[idx] + (1 << extras[idx]) <= value:
         idx += 1
+    return idx
+
+
+def _length_codes_vec(bases, extras, values):
+    """Vectorized _length_code over an array of values (one searchsorted
+    for the whole command list instead of one per command — the per-call
+    form was ~40% of q11's meta-block time)."""
+    bases = np.asarray(bases, dtype=np.int64)
+    extras = np.asarray(extras, dtype=np.int64)
+    values = np.asarray(values, dtype=np.int64)
+    idx = np.searchsorted(bases, values, side="right") - 1
+    for _ in range(4):  # corrective bumps for non-contiguous code ranges
+        can = idx + 1 < len(bases)
+        bump = can & (bases[idx] + (np.int64(1) << extras[idx]) <= values)
+        if not bump.any():
+            break
+        idx = idx + bump
     return idx
 
 
@@ -242,7 +263,7 @@ def _command_symbol(insert_len: int, copy_len: int, implicit: bool = False):
     return cmd, ic, cc
 
 
-def _plan_distances(commands):
+def _plan_distances(commands, ic_arr, cc_arr):
     """Choose each copy's distance coding with the 4-slot ring tracked
     exactly as the decoder resolves it (decode.py::_resolve_distance):
 
@@ -251,15 +272,14 @@ def _plan_distances(commands):
     * ``(dsym, extra, nbits)`` explicit otherwise.
 
     Ring updates mirror the decoder: explicit and short codes 1-15 push the
-    distance; code 0 and implicit copies do not."""
+    distance; code 0 and implicit copies do not. ``ic_arr``/``cc_arr`` are
+    the precomputed per-command insert/copy length codes."""
     ring = list(C.INITIAL_DISTANCES)
     plan = []
-    for _, ins, cl, d in commands:
+    for (_, ins, cl, d), ic, cc in zip(commands, ic_arr, cc_arr):
         if d is None:
             plan.append(None)
             continue
-        ic = _length_code(C.INSERT_BASE, C.INSERT_EXTRA, ins)
-        cc = _length_code(C.COPY_BASE, C.COPY_EXTRA, cl)
         if d == ring[0] and ic < 8 and cc < 16:
             plan.append(("imp",))
             continue
@@ -362,25 +382,48 @@ def _context_model(arr: np.ndarray, lit_pos: np.ndarray, lit_vals: np.ndarray,
     # Greedy histogram clustering (brotli HistogramCombine shape): merge
     # the pair whose combined entropy cost increases least, while the
     # increase stays below the saving of one fewer tree description.
-    clusters = [hists[c] for c in range(64)]
+    # Pairwise merge costs are kept as a matrix and only the merged
+    # cluster's row is recomputed per step (the rescan-everything loop was
+    # ~100K per-pair entropy calls, ~0.5 s per meta-block).
+    def _ent_rows(mat):
+        tot = mat.sum(axis=-1)
+        lg = np.where(mat > 0, np.log2(np.maximum(mat, 1)), 0.0)
+        return (np.where(tot > 0, tot * np.log2(np.maximum(tot, 1)), 0.0)
+                - (mat * lg).sum(axis=-1))
+
+    hs = hists.astype(np.float64)
+    costs_v = _ent_rows(hs)
+    # delta[i, j] = ent(h_i + h_j) - ent(h_i) - ent(h_j), inf on/below diag
+    pair = hs[:, None, :] + hs[None, :, :]
+    delta_m = _ent_rows(pair) - costs_v[:, None] - costs_v[None, :]
+    delta_m[~np.triu(np.ones((64, 64), dtype=bool), k=1)] = np.inf
     members = [[c] for c in range(64)]
-    costs = [_entropy_bits(h) for h in clusters]
+    alive = np.ones(64, dtype=bool)
     TREE_DESC_BITS = 70 * 8  # rough per-tree description cost
-    while len(clusters) > 1:
-        best = None
-        for i in range(len(clusters)):
-            for j in range(i + 1, len(clusters)):
-                merged = _entropy_bits(clusters[i] + clusters[j])
-                delta = merged - costs[i] - costs[j]
-                if best is None or delta < best[0]:
-                    best = (delta, i, j)
-        delta, i, j = best
-        if len(clusters) <= max_trees and delta > TREE_DESC_BITS:
+    nalive = 64
+    while nalive > 1:
+        flat = np.argmin(delta_m)
+        i, j = int(flat // 64), int(flat % 64)
+        delta = delta_m[i, j]
+        if nalive <= max_trees and delta > TREE_DESC_BITS:
             break
-        clusters[i] = clusters[i] + clusters[j]
+        hs[i] += hs[j]
         members[i] += members[j]
-        costs[i] = _entropy_bits(clusters[i])
-        del clusters[j], members[j], costs[j]
+        costs_v[i] = _ent_rows(hs[i][None, :])[0]
+        alive[j] = False
+        nalive -= 1
+        delta_m[j, :] = np.inf
+        delta_m[:, j] = np.inf
+        others = np.nonzero(alive)[0]
+        others = others[others != i]
+        if len(others):
+            merged = _ent_rows(hs[i][None, :] + hs[others])
+            d_new = merged - costs_v[i] - costs_v[others]
+            lo = np.minimum(others, i)
+            hi = np.maximum(others, i)
+            delta_m[lo, hi] = d_new
+    clusters = [hs[c].astype(np.int64) for c in np.nonzero(alive)[0]]
+    members = [members[c] for c in np.nonzero(alive)[0]]
     ntrees = len(clusters)
     if ntrees < 2:
         return single
@@ -521,19 +564,28 @@ class BrotliStreamEncoder:
             lit_bytes.extend(data[pending_start : pending_start + pending])
 
         # Distance coding plan (ring short codes / implicit), then histograms.
-        dist_plan = _plan_distances(commands)
-        cmd_syms = []
-        dist_syms = []
-        for (_, ins, cl, d), plan in zip(commands, dist_plan):
-            if d is None:
-                cmd, _, _ = _command_symbol(ins, 2)  # copy ignored at MLEN
-                cmd_syms.append(cmd)
-            else:
-                cmd, _, _ = _command_symbol(ins, cl, implicit=plan[0] == "imp")
-                cmd_syms.append(cmd)
-                if plan[0] != "imp":
-                    dist_syms.append(plan[0])
-        cmd_freq = np.bincount(np.asarray(cmd_syms, dtype=np.int64), minlength=C.NUM_COMMAND_SYMBOLS)
+        # Insert/copy length codes and command symbols are vectorized over
+        # the whole command list (a per-command searchsorted was ~40% of
+        # q11's meta-block time).
+        ins_arr = np.asarray([c[1] for c in commands], dtype=np.int64)
+        cl_arr = np.asarray(
+            [c[2] if c[3] is not None else 2 for c in commands], dtype=np.int64)
+        ic_arr = _length_codes_vec(C.INSERT_BASE, C.INSERT_EXTRA, ins_arr)
+        cc_arr = _length_codes_vec(C.COPY_BASE, C.COPY_EXTRA, cl_arr)
+        dist_plan = _plan_distances(commands, ic_arr, cc_arr)
+        imp_arr = np.asarray(
+            [p is not None and p[0] == "imp" for p in dist_plan], dtype=bool)
+        pair_idx = _RANGE_LUT[ic_arr >> 3, cc_arr >> 3]
+        if np.any((pair_idx < 0) & ~imp_arr):
+            raise CodecFailure(ERR_ENC, "unencodable insert/copy pair")
+        low6 = ((ic_arr & 7) << 3) | (cc_arr & 7)
+        cmd_arr = np.where(
+            imp_arr, ((cc_arr >> 3) << 6) | low6,
+            ((pair_idx + 2) << 6) | low6,
+        ).astype(np.int64)
+        dist_syms = [p[0] for p in dist_plan
+                     if p is not None and p[0] != "imp"]
+        cmd_freq = np.bincount(cmd_arr, minlength=C.NUM_COMMAND_SYMBOLS)
         dist_freq = np.bincount(
             np.asarray(dist_syms if dist_syms else [0], dtype=np.int64), minlength=64
         )
@@ -589,11 +641,8 @@ class BrotliStreamEncoder:
         cmd_code.write_description(sink)
         dist_code.write_description(sink)
 
-        for (start, ins, cl, d), plan in zip(commands, dist_plan):
-            if d is None:
-                cmd, ic, cc = _command_symbol(ins, 2)
-            else:
-                cmd, ic, cc = _command_symbol(ins, cl, implicit=plan[0] == "imp")
+        for ci, ((start, ins, cl, d), plan) in enumerate(zip(commands, dist_plan)):
+            cmd, ic, cc = int(cmd_arr[ci]), int(ic_arr[ci]), int(cc_arr[ci])
             cmd_code.push_symbol(sink, cmd)
             sink.push(ins - C.INSERT_BASE[ic], C.INSERT_EXTRA[ic])
             sink.push((cl if d is not None else 2) - C.COPY_BASE[cc], C.COPY_EXTRA[cc])

@@ -129,6 +129,52 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
     best_len = np.zeros(m, dtype=np.int64)
     best_dist = np.zeros(m, dtype=np.int64)
     retire = np.minimum(nice, limit[:m])
+
+    if patience or hash6_depth:
+        # Deep-quality ladders: seed with a distance-1 pre-pass so run
+        # positions retire immediately (their hash-3 chains are the
+        # pathological ones — every position of a run shares a bucket).
+        p1 = np.arange(1, m)
+        l1 = _match_lengths(u64, p1, p1 - 1, limit[1:m])
+        take1 = l1 > best_len[1:]
+        best_len[1:][take1] = l1[take1]
+        best_dist[1:][take1] = 1
+
+    def _hash6_walk():
+        # 6-byte-prefix hash chains: a hash-6 bucket holds only positions
+        # sharing a 6-byte prefix (minus collisions), so its chain is
+        # precisely the long-match candidate list — a depth-d walk here
+        # replaces a much deeper hash-3 walk for the far/long matches the
+        # deep-quality ladders exist to find (libbrotli's q10/11 role).
+        # Runs BEFORE the hash-3 walk so long matches retire positions
+        # early and shrink the hash-3 frontier.
+        m6 = m - 3  # positions with a full 6-byte prefix (m = n - 2)
+        v6 = u64[:m6] & np.uint64(0xFFFFFFFFFFFF)
+        h6 = ((v6 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(47)).astype(np.uint64)
+        order6 = np.argsort(h6, kind="stable")
+        prev6 = np.full(m6, -1, dtype=np.int64)
+        same6 = h6[order6[1:]] == h6[order6[:-1]]
+        prev6[order6[1:][same6]] = order6[:-1][same6]
+        act = np.nonzero((prev6 >= 0) & (best_len[:m6] < retire[:m6]))[0]
+        cand_a = prev6[act]
+        for _ in range(hash6_depth):
+            keep = (cand_a >= 0) & (act - cand_a <= max_dist) & (
+                best_len[act] < retire[act]
+            )
+            act = act[keep]
+            cand_a = cand_a[keep]
+            if act.size == 0:
+                break
+            l = _match_lengths(u64, act, cand_a, limit[act])
+            better = l > best_len[act]
+            upd = act[better]
+            best_len[upd] = l[better]
+            best_dist[upd] = upd - cand_a[better]
+            cand_a = prev6[cand_a]
+
+    if hash6_depth and m > 8:
+        _hash6_walk()
+
     if patience:
         # Compacted deep walk (q10/q11 ladders): the walk operates on the
         # ACTIVE frontier only, so per-step cost tracks the shrinking set
@@ -136,7 +182,7 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
         # or after `patience` steps with no improvement (improvements
         # cluster at the chain front on real data, so the frontier decays
         # geometrically while deep late finds are still kept).
-        act = np.nonzero(cand >= 0)[0]
+        act = np.nonzero((cand >= 0) & (best_len < retire))[0]
         cand_a = cand[act]
         li_a = np.zeros(len(act), dtype=np.int64)
         for step in range(depth):
@@ -171,36 +217,6 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
             best_dist[upd] = upd - cand[upd]
             # step chains: candidate of the candidate
             cand = np.where(cand >= 0, prev[np.maximum(cand, 0)], -1)
-
-    if hash6_depth and m > 8:
-        # Second tier: 6-byte-prefix hash chains. A hash-6 bucket holds only
-        # positions sharing a 6-byte prefix (minus collisions), so its chain
-        # is precisely the long-match candidate list — a depth-d walk here
-        # replaces a much deeper hash-3 walk for the far/long matches the
-        # deep-quality ladders exist to find (libbrotli's q10/11 role).
-        m6 = m - 3  # positions with a full 6-byte prefix (m = n - 2)
-        v6 = u64[:m6] & np.uint64(0xFFFFFFFFFFFF)
-        h6 = ((v6 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(47)).astype(np.uint64)
-        order6 = np.argsort(h6, kind="stable")
-        prev6 = np.full(m6, -1, dtype=np.int64)
-        same6 = h6[order6[1:]] == h6[order6[:-1]]
-        prev6[order6[1:][same6]] = order6[:-1][same6]
-        act = np.nonzero(prev6 >= 0)[0]
-        cand_a = prev6[act]
-        for _ in range(hash6_depth):
-            keep = (cand_a >= 0) & (act - cand_a <= max_dist) & (
-                best_len[act] < retire[act]
-            )
-            act = act[keep]
-            cand_a = cand_a[keep]
-            if act.size == 0:
-                break
-            l = _match_lengths(u64, act, cand_a, limit[act])
-            better = l > best_len[act]
-            upd = act[better]
-            best_len[upd] = l[better]
-            best_dist[upd] = upd - cand_a[better]
-            cand_a = prev6[cand_a]
 
     ok = best_len >= consts.MIN_MATCH
     # zlib "too far" heuristic: a 3-byte match beyond 4096 costs more than
@@ -359,8 +375,13 @@ _LEN_CANDIDATES = consts.LENGTH_BASE.tolist()
 
 def _optimal_parse(data, lens, dists):
     """Two-round cost-model DP (Zopfli-style squeeze, one candidate match
-    per position + code-base sublengths). Backward recurrence in Python —
-    host-side "max effort" mode (level 9)."""
+    per position + code-base sublengths). The backward recurrence is
+    strictly sequential, so it runs in the native runtime
+    (csrc/compu_parse.cpp, ~100x the Python loop kept below as the
+    toolchain-free fallback) — host-side "max effort" mode (level 9 /
+    brotli q10-q11)."""
+    from ...runtime import native
+
     n = len(data)
     tok = _greedy_tokens(data, lens, dists)
     lens_l = lens.tolist()
@@ -388,6 +409,12 @@ def _optimal_parse(data, lens, dists):
             + dextra_t[dcode_t[np.minimum(dists_np, consts.WINDOW_SIZE)]],
             5.0 + np.log2(np.maximum(dists_np, 2)),
         )
+        nat = native.optimal_parse(
+            bytes(data), lens, dists, litcost, lcost, dc_arr, _LEN_CANDIDATES
+        )
+        if nat is not None:
+            tok = nat
+            continue
         dc_list = dc_arr.tolist()
         cost = [0.0] * (n + 1)
         choice = [0] * n

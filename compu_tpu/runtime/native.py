@@ -15,7 +15,8 @@ import threading
 
 _CSRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc"
 _SRC = _CSRC / "compu_runtime.cpp"
-_SRCS = [_SRC, _CSRC / "compu_inflate.cpp", _CSRC / "compu_deflate.cpp"]
+_SRCS = [_SRC, _CSRC / "compu_inflate.cpp", _CSRC / "compu_deflate.cpp",
+         _CSRC / "compu_parse.cpp"]
 _SO = _SRC.with_name("libcompu_runtime.so")
 _lock = threading.Lock()
 _lib = None
@@ -65,6 +66,15 @@ def _load():
                     ctypes.c_void_p, ctypes.c_size_t,
                     ctypes.c_int, ctypes.c_int,
                 ]
+            if hasattr(lib, "compu_optimal_parse"):
+                lib.compu_optimal_parse.restype = ctypes.c_int64
+                lib.compu_optimal_parse.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_int32,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ]
             if hasattr(lib, "compu_inflate_new"):
                 lib.compu_inflate_new.restype = ctypes.c_void_p
                 lib.compu_inflate_free.argtypes = [ctypes.c_void_p]
@@ -106,3 +116,35 @@ def xxh64(data, seed: int = 0) -> int | None:
     if lib is None:
         return None
     return int(lib.compu_xxh64(bytes(data), len(data), seed))
+
+
+def optimal_parse(data, lens, dists, litcost, lcost, dcost, cands):
+    """Native Zopfli-style squeeze DP; None when the library is absent.
+    Returns (tok_pos, tok_len, tok_dist) int64 arrays (len 0 = literal)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "compu_optimal_parse"):
+        return None
+    import numpy as np
+
+    n = len(data)
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    dists64 = np.ascontiguousarray(dists, dtype=np.int64)
+    litc = np.ascontiguousarray(litcost, dtype=np.float64)
+    lc = np.ascontiguousarray(lcost, dtype=np.float64)
+    dc = np.ascontiguousarray(dcost, dtype=np.float64)
+    cands32 = np.ascontiguousarray(cands, dtype=np.int32)
+    tp = np.empty(n, dtype=np.int32)
+    tl = np.empty(n, dtype=np.int32)
+    td = np.empty(n, dtype=np.int32)
+    assert litc.size == 256 and lc.size == 256 and dc.size == n
+    t = lib.compu_optimal_parse(
+        bytes(data), n,
+        lens64.ctypes.data, dists64.ctypes.data,
+        litc.ctypes.data, lc.ctypes.data, dc.ctypes.data,
+        cands32.ctypes.data, len(cands32),
+        tp.ctypes.data, tl.ctypes.data, td.ctypes.data,
+    )
+    if t < 0:
+        return None
+    return (tp[:t].astype(np.int64), tl[:t].astype(np.int64),
+            td[:t].astype(np.int64))
