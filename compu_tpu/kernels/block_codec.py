@@ -66,11 +66,12 @@ def _compact(stacked: jnp.ndarray, lens: jnp.ndarray, *, cap: int) -> jnp.ndarra
 
 
 @functools.partial(
-    jax.jit, static_argnames=("depth", "cap", "with_index", "check", "kernel")
+    jax.jit, static_argnames=("depth", "cap", "with_index", "check", "kernel",
+                              "wcap")
 )
 def _encode_blocks_batched(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int,
                            cap: int, with_index: bool, check: str,
-                           kernel: str = "v3"):
+                           kernel: str = "v3", wcap: int = 32):
     """One jit over the whole (B, N) block matrix: lax.map of the block
     kernel plus the compaction, so a batch costs ONE dispatch instead of
     B+1. (These graphs lax.map cleanly — PLAN.md; the scatter-heavy v1
@@ -86,12 +87,12 @@ def _encode_blocks_batched(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int
         if with_index:
             outs, metas, segs = encode_blocks_dyn(
                 blocks, lens, depth=depth, cap=cap, with_index=True,
-                check=check,
+                check=check, wcap=wcap,
             )
         else:
             outs, metas = encode_blocks_dyn(
                 blocks, lens, depth=depth, cap=cap, with_index=False,
-                check=check,
+                check=check, wcap=wcap,
             )
             segs = None
         B = blocks.shape[0]
@@ -144,6 +145,7 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
     fixed-Huffman-only variant; ``'v1'`` keeps the chain-walk kernel
     (closer to the host ladder, much slower on TPU)."""
     depth, nice, lazy = _LEVEL[max(1, min(9, level))]
+    wcap = 16 if level <= 4 else 32  # narrow match window on fast levels
 
     check = "crc" if mode is ZlibMode.Gzip else "adler"
 
@@ -154,7 +156,7 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
         if kernel == "v3":
             return encode_block_dyn(
                 block, n, depth=min(depth, 8), cap=cap,
-                with_index=segment_index, check=check,
+                with_index=segment_index, check=check, wcap=wcap,
             )
         if kernel == "v2":
             return encode_block_fixed_v2(
@@ -185,6 +187,7 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
                         dev, lens_j[g * gb : (g + 1) * gb],
                         depth=min(depth, 8), cap=cap,
                         with_index=segment_index, check=check, kernel=kernel,
+                        wcap=wcap,
                     )
                     parts.append(part)
                     if g + 1 < G:
@@ -201,7 +204,7 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
                 packed, meta_stack, seg_stack = _encode_blocks_batched(
                     blocks_dev, jnp.asarray(lens, jnp.int32),
                     depth=min(depth, 8), cap=cap, with_index=segment_index,
-                    check=check, kernel=kernel,
+                    check=check, kernel=kernel, wcap=wcap,
                 )
                 group_caps = None
             seg_futs = [seg_stack] if segment_index else []

@@ -32,6 +32,7 @@ with an empty stored block (sync flush), byte-aligned, window ≤ block.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -46,7 +47,7 @@ from .deflate_jax import (
 )
 
 SEG = 128          # segment granularity for indexed (segment-parallel) blocks
-WCAP = 32          # bytes measured per hash-chain candidate
+WCAP = 32          # default bytes measured per hash-chain candidate
 
 
 def _u32_words(data: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -132,72 +133,63 @@ def _fixed_fields(data, mlen, dclip, is_match_tok, is_lit):
     return f0_val, f0_bits, f1_val, f1_bits
 
 
-def records_cover(step_arr: jnp.ndarray, dist_arr: jnp.ndarray,
-                  n: jnp.ndarray, *, clip_seg: bool):
-    """Records-with-trim token cover — dense scans only, no matmuls or
-    gathers. Returns (is_tok, tok_len, tok_dist) per position.
+def parse_cover_mxu(step_arr: jnp.ndarray) -> jnp.ndarray:
+    """Exact greedy token cover (segment-local) by one-hot matrix squaring
+    on the MXU. ``step_arr[i]`` is the greedy parser's advance at position
+    i (match length or 1), already clipped so no step crosses a SEG
+    boundary; the cover is the orbit of each segment start under
+    f(i) = i + step[i] — the transitive closure of a one-hot jump matrix,
+    7 batched 128^3 squarings per segment.
 
-    Key insight: a DEFLATE match may be TRUNCATED AT ITS END and stay
-    valid, so an exact greedy chase is unnecessary. Let
-    e[i] = i + step[i] (match end, or i+1 for a literal). A position is a
-    *record* iff e[i] strictly exceeds every earlier end (exclusive
-    cummax). Records emit at their own positions, truncated at the next
-    record: token k = [p_k, min(e_k, p_{k+1})). This tiles [0, n) exactly:
-    p_{k+1} <= e_k always, because the position q = e_k would itself
-    satisfy e[q] >= q+1 > e_k = cummax_before(q) and hence be a record.
-    Truncation-by-next-record is lazy matching in disguise (the later,
-    farther-reaching match wins the overlap). Records reach at least as
-    far per token as the greedy chase.
-
-    Cost: one cummax + one reversed cummin + rolls — a handful of dense
-    passes over i32[N]. The alternatives measured on TPU (chained,
-    16x256 KiB batch): one-hot jump-matrix squaring on the MXU
-    ~40 ms/batch; binary-lifting pointer-doubling ~1500 ms/batch (element
-    gathers run ~10 ns/elem).
-
-    ``clip_seg`` additionally clips steps at SEG boundaries, which makes
-    every segment start a record — required by the segment-index decode
-    path; costs ratio (matches stop at 128 instead of 258)."""
+    Alternatives measured on TPU (chained, 16x256 KiB batches):
+    * binary-lifting pointer doubling (t[t] gathers): ~1500 ms/batch —
+      TPU element gathers run ~10 ns/elem; one-hot matmul IS the fast
+      gather on this hardware.
+    * records/spans covers (cummax + forward-fill, ~2 ms/batch): every
+      variant loses ~0.2x ratio — end-truncating an overlapped match
+      turns the overlap into literal runs, and dropping weak records
+      cascades on dense-match data. Exact greedy re-anchors at the cover
+      end, which is what the ratio needs (2.66x vs <=2.46x on the bench
+      corpus at level 6).
+    """
     N = step_arr.shape[0]
     pos = jnp.arange(N, dtype=jnp.int32)
-    step = jnp.maximum(step_arr, 1)
-    if clip_seg:
-        seg_rem = SEG - (pos & (SEG - 1))
-        step = jnp.minimum(step, seg_rem)
-    e = pos + step
-    m_exc = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jax.lax.cummax(e)[:-1]])
-    rec = e > m_exc                                  # pos 0 is always a record
-
-    # next record strictly after each position (N past the last one)
-    rec_pos = jnp.where(rec, pos, N)
-    next_rec = jnp.concatenate(
-        [jax.lax.cummin(rec_pos, reverse=True)[1:],
-         jnp.full((1,), N, jnp.int32)])
-    span = jnp.minimum(e, next_rec) - pos            # truncated token length
-    short = span < consts.MIN_MATCH
-    # a short (span 1-2) record emits literals over its whole interval
-    second_lit = jnp.concatenate(
-        [jnp.zeros(1, dtype=bool), (rec & short & (span == 2))[:-1]])
-    is_tok = (rec | second_lit) & (pos < n)
-    tok_len = jnp.where(rec & ~short, span, 0)
-    tok_dist = jnp.where(rec & ~short, dist_arr, 0)
-    return is_tok, tok_len, tok_dist
+    S = N // SEG
+    local = pos & (SEG - 1)
+    nxt_local = jnp.minimum(local + jnp.maximum(step_arr, 1), SEG)
+    nl = nxt_local.reshape(S, SEG)
+    cols = jnp.arange(SEG, dtype=jnp.int32)
+    jmat = (nl[:, :, None] == cols[None, None, :]).astype(jnp.bfloat16)
+    reach = jnp.zeros((S, 1, SEG), dtype=jnp.float32).at[:, 0, 0].set(1.0)
+    iters = int(np.ceil(np.log2(SEG)))
+    for it in range(iters):
+        hop = jnp.einsum(
+            "sij,sjk->sik", reach.astype(jnp.bfloat16), jmat,
+            preferred_element_type=jnp.float32,
+        )
+        reach = jnp.minimum(reach + hop, 1.0)
+        if it + 1 < iters:  # the last squaring would be unused
+            jmat = jnp.einsum(
+                "sij,sjk->sik", jmat, jmat,
+                preferred_element_type=jnp.bfloat16,
+            )
+    return (reach[:, 0, :] > 0.5).reshape(N)
 
 
 def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                     max_dist: int = consts.WINDOW_SIZE, max_len: int = consts.MAX_MATCH,
-                    clip_seg: bool = True):
+                    clip_seg: bool = True, wcap: int = WCAP):
     """Shared device LZ stage: sort-carried matching + chain/run extension
     + MXU greedy cover. Returns (is_tok bool[N], best_len i32[N],
     best_dist i32[N]) — the token cover all three formats consume (DEFLATE
     directly on device; zstd/brotli through their host entropy stages).
 
-    With ``clip_seg`` matches clip at SEG boundaries so every segment
-    starts on a token boundary (segment-index decode / v2 einsum pack);
-    without it matches run to the 258 format limit. Returned lengths are
-    the cover's TRIMMED token lengths (see records_cover) — only positions
-    where ``is_tok`` holds carry meaning."""
+    Matches always clip at SEG boundaries (the exact greedy cover is
+    segment-local — see parse_cover_mxu for why the alternatives lose);
+    every segment therefore starts on a token boundary, which the
+    segment-index decode path and the v2 einsum pack rely on. ``clip_seg``
+    is accepted for call-site documentation; both values currently
+    produce the clipped cover."""
     N = data.shape[0]
     pos_all = jnp.arange(N, dtype=jnp.int32)
     in_range = pos_all < n
@@ -207,7 +199,7 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     v3 = d0 | (jnp.roll(d0, -1) << 8) | (jnp.roll(d0, -2) << 16)
     h = (v3 * jnp.uint32(2654435761)) >> jnp.uint32(16)
     h = jnp.where(pos_all < n - 2, h, jnp.uint32(0x10000) + pos_all.astype(jnp.uint32))
-    words = [_u32_words(data, k) for k in range(WCAP // 4)]
+    words = [_u32_words(data, k) for k in range(wcap // 4)]
     sorted_ops = jax.lax.sort((h, pos_all, *words), num_keys=1, is_stable=True)
     hs, ps = sorted_ops[0], sorted_ops[1]
     sw = sorted_ops[2:]
@@ -221,7 +213,7 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
         dist = ps - jnp.roll(ps, d)
         ok = same & (dist > 0) & (dist <= max_dist)
         l = _ctz_bytes(sw[0] ^ jnp.roll(sw[0], d))
-        for k in range(1, WCAP // 4):
+        for k in range(1, wcap // 4):
             lk = _ctz_bytes(sw[k] ^ jnp.roll(sw[k], d))
             l = l + jnp.where(l == 4 * k, lk, 0)
         l = jnp.where(ok, l, 0)
@@ -238,22 +230,22 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     # merge by log-doubling on dense rolls (a match that exhausted its
     # WCAP-byte measurement window continues through the next position's
     # match when the distances agree).
-    for k in (WCAP, 2 * WCAP, 4 * WCAP):
+    k = wcap
+    while k < max_len:
         cond = ((best_len == k) & (jnp.roll(best_dist, -k) == best_dist)
                 & (jnp.roll(best_len, -k) > 0) & (pos_all + k < N))
         best_len = jnp.where(
-            cond, jnp.minimum(k + jnp.roll(best_len, -k), consts.MAX_MATCH),
-            best_len,
-        )
+            cond, jnp.minimum(k + jnp.roll(best_len, -k), max_len), best_len)
+        k *= 2
 
     # --- run extension: distance-1 matches via log-doubling ------------
     e = (data == jnp.roll(data, -1)) & (pos_all < n - 1)
     run = e.astype(jnp.int32)
     step = 1
-    while step < consts.MAX_MATCH:
+    while step < max_len:
         run = run + jnp.where(run == step, jnp.roll(run, -step), 0)
         step *= 2
-    run = jnp.minimum(run, consts.MAX_MATCH)
+    run = jnp.minimum(run, max_len)
     # match at i with dist 1 has length run[i-1]; express via roll.
     run_len = jnp.roll(run, 1).at[0].set(0)
     use_run = run_len > best_len
@@ -263,6 +255,9 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     # --- heuristics ----------------------------------------------------
     limit = jnp.minimum(n - pos_all, jnp.int32(max_len))
     best_len = jnp.minimum(best_len, limit)
+    # clip to segment end (the greedy cover is segment-local)
+    seg_rem = SEG - (pos_all & (SEG - 1))
+    best_len = jnp.minimum(best_len, seg_rem)
     best_len = jnp.where(in_range, best_len, 0)
     drop = (best_len == consts.MIN_MATCH) & (best_dist > 4096)
     best_len = jnp.where(drop, 0, best_len)
@@ -270,9 +265,20 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     best_len = jnp.where(nxt_len > best_len, 0, best_len)  # lazy demote
     take = best_len >= consts.MIN_MATCH
 
-    # --- 4. records-with-trim cover (dense scans) ------------------------
+    # --- 4. exact greedy cover on the MXU --------------------------------
+    # Pallas (VMEM-resident squaring) on TPU; the XLA einsum form stays as
+    # the CPU fallback (Mosaic targets TPU only) and is selectable with
+    # COMPU_PARSE=einsum for A/B timing.
     step_arr = jnp.where(take, best_len, 1)
-    return records_cover(step_arr, best_dist, n, clip_seg=clip_seg)
+    if (jax.default_backend() == "cpu"
+            or os.environ.get("COMPU_PARSE") == "einsum"):
+        cover = parse_cover_mxu(step_arr)
+    else:
+        from .parse_pallas import parse_cover_pallas
+
+        cover = parse_cover_pallas(step_arr)
+    is_tok = cover & in_range
+    return is_tok, best_len, best_dist
 
 
 @functools.lru_cache(maxsize=8)

@@ -244,13 +244,13 @@ def _hist_mxu(sym: jnp.ndarray, mask: jnp.ndarray, nbins: int) -> jnp.ndarray:
     return h2.reshape(-1)[:nbins].astype(jnp.int32)
 
 
-def _tokens_and_hist(data, n, *, depth, clip_seg=False):
+def _tokens_and_hist(data, n, *, depth, clip_seg=False, wcap=32):
     """Stage 1: LZ tokens + per-block symbol histograms (device)."""
     N = data.shape[0]
     pos_all = jnp.arange(N, dtype=jnp.int32)
     in_range = pos_all < n
     is_tok, best_len, best_dist = match_and_parse(
-        data, n, depth=depth, clip_seg=clip_seg
+        data, n, depth=depth, clip_seg=clip_seg, wcap=wcap
     )
     take = best_len >= consts.MIN_MATCH
     is_match_tok = is_tok & take
@@ -351,6 +351,33 @@ def _build_tables(lit_freq, dist_freq, extra_l_bits, extra_d_bits, n):
     )
 
 
+def _lookup2_mxu(sym: jnp.ndarray, t0: jnp.ndarray, t1: jnp.ndarray,
+                 nbins: int):
+    """Paired table lookup (t0[sym], t1[sym]) as one small MXU matmul plus
+    a masked sum: bin = 16q + r factors the one-hot, so the gather becomes
+    A(N, Q) @ T(Q, 32) followed by an r-select. Table values < 2^24 are
+    exact in f32. A direct 256K-element gather costs ~0.5-2 ms on TPU even
+    from a 286-entry table; this form is dense."""
+    q_bins = (nbins + 15) // 16
+    pad = q_bins * 16
+    tt = jnp.stack([
+        jnp.pad(t0.astype(jnp.float32), (0, pad - nbins)),
+        jnp.pad(t1.astype(jnp.float32), (0, pad - nbins)),
+    ], axis=-1).reshape(q_bins, 32)
+    q = sym >> 4
+    r = sym & 15
+    a = (q[:, None] == jnp.arange(q_bins, dtype=jnp.int32)[None, :]
+         ).astype(jnp.float32)
+    # HIGHEST: TPU f32 matmuls default to a bf16 decomposition that is not
+    # exact for 15-bit integer table values; the one-hot contraction must
+    # reproduce them bit-exactly.
+    m = jnp.dot(a, tt, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).reshape(-1, 16, 2)
+    b = r[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :]
+    v = jnp.sum(m * b[:, :, None], axis=1)
+    return v[:, 0], v[:, 1]
+
+
 def _emit(data, n, tok, tables, *, cap, with_index):
     """Stage 3: map tokens through the code tables, pack bits via a
     segment-local one-hot einsum (MXU), shift rows to their global bit
@@ -374,8 +401,9 @@ def _emit(data, n, tok, tables, *, cap, with_index):
     is_lit = tok["is_lit"]
     sym = tok["sym"]
 
-    code_l = lit_code[sym]
-    len_l = lit_len[sym]
+    code_l_f, len_l_f = _lookup2_mxu(sym, lit_code, lit_len, NLIT)
+    code_l = code_l_f.astype(jnp.uint32)
+    len_l = len_l_f.astype(jnp.int32)
     f0_val = jnp.where(
         is_match,
         code_l | (tok["lextra"] << len_l.astype(jnp.uint32)),
@@ -383,8 +411,9 @@ def _emit(data, n, tok, tables, *, cap, with_index):
     )
     f0_bits = jnp.where(is_match, len_l + tok["e_l"],
                         jnp.where(is_lit, len_l, 0))
-    code_d = dist_code[tok["dsym"]]
-    len_d = dist_len[tok["dsym"]]
+    code_d_f, len_d_f = _lookup2_mxu(tok["dsym"], dist_code, dist_len, NDIST)
+    code_d = code_d_f.astype(jnp.uint32)
+    len_d = len_d_f.astype(jnp.int32)
     f1_val = code_d | (tok["dextra"] << len_d.astype(jnp.uint32))
     f1_bits = jnp.where(is_match, len_d + tok["e_d"], 0)
 
@@ -556,10 +585,11 @@ def _block_checksum(data, n, check):
     return (b.astype(jnp.uint32) << 16) | a.astype(jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "cap", "with_index", "check"))
+@functools.partial(jax.jit, static_argnames=("depth", "cap", "with_index",
+                                              "check", "wcap"))
 def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
                       cap: int = 0, with_index: bool = False,
-                      check: str = "adler"):
+                      check: str = "adler", wcap: int = 32):
     """Batched v3 encode over a (B, N) block matrix — the throughput path.
 
     Stage split matters on TPU: the token scan and the bit-pack lax.map
@@ -574,7 +604,7 @@ def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
 
     def stage1(data, n):
         tok, lf, df, xl, xd = _tokens_and_hist(
-            data, n, depth=depth, clip_seg=with_index
+            data, n, depth=depth, clip_seg=with_index, wcap=wcap
         )
         chk = _block_checksum(data, n, check)
         return tok, lf, df, xl, xd, chk
@@ -600,10 +630,11 @@ def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
     return outs, metas
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "cap", "with_index", "check"))
+@functools.partial(jax.jit, static_argnames=("depth", "cap", "with_index",
+                                              "check", "wcap"))
 def encode_block_dyn(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                      cap: int = 0, with_index: bool = False,
-                     check: str = "adler"):
+                     check: str = "adler", wcap: int = 32):
     """v3 block encode (single block). Returns (out_u8[cap], meta_i32[2])
     (+ seg_bits with ``with_index``), same contract as v2's
     encode_block_fixed_v2."""
@@ -611,7 +642,7 @@ def encode_block_dyn(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     if cap == 0:
         cap = N + N // 4 + 64
     tok, lit_freq, dist_freq, xl, xd = _tokens_and_hist(
-        data, n, depth=depth, clip_seg=with_index
+        data, n, depth=depth, clip_seg=with_index, wcap=wcap
     )
     tables = _build_tables(lit_freq, dist_freq, xl, xd, n)
     res = _emit(data, n, tok, tables, cap=cap, with_index=with_index)
