@@ -176,35 +176,25 @@ def parse_cover_mxu(step_arr: jnp.ndarray) -> jnp.ndarray:
     return (reach[:, 0, :] > 0.5).reshape(N)
 
 
-def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
-                    max_dist: int = consts.WINDOW_SIZE, max_len: int = consts.MAX_MATCH,
-                    clip_seg: bool = True, wcap: int = WCAP):
-    """Shared device LZ stage: sort-carried matching + chain/run extension
-    + MXU greedy cover. Returns (is_tok bool[N], best_len i32[N],
-    best_dist i32[N]) — the token cover all three formats consume (DEFLATE
-    directly on device; zstd/brotli through their host entropy stages).
-
-    Matches always clip at SEG boundaries (the exact greedy cover is
-    segment-local — see parse_cover_mxu for why the alternatives lose);
-    every segment therefore starts on a token boundary, which the
-    segment-index decode path and the v2 einsum pack rely on. ``clip_seg``
-    is accepted for call-site documentation; both values currently
-    produce the clipped cover."""
+def _sort_stage(data, n, *, wcap):
+    """Per-block stage 1: 3-byte hash + sort-carried windows (vmappable).
+    Returns the sort-order tuple (hs, ps, *windows)."""
     N = data.shape[0]
     pos_all = jnp.arange(N, dtype=jnp.int32)
-    in_range = pos_all < n
-
-    # --- 1. hash + sort-carried windows --------------------------------
     d0 = data.astype(jnp.uint32)
     v3 = d0 | (jnp.roll(d0, -1) << 8) | (jnp.roll(d0, -2) << 16)
     h = (v3 * jnp.uint32(2654435761)) >> jnp.uint32(16)
-    h = jnp.where(pos_all < n - 2, h, jnp.uint32(0x10000) + pos_all.astype(jnp.uint32))
+    h = jnp.where(pos_all < n - 2, h,
+                  jnp.uint32(0x10000) + pos_all.astype(jnp.uint32))
     words = [_u32_words(data, k) for k in range(wcap // 4)]
-    sorted_ops = jax.lax.sort((h, pos_all, *words), num_keys=1, is_stable=True)
-    hs, ps = sorted_ops[0], sorted_ops[1]
-    sw = sorted_ops[2:]
+    return jax.lax.sort((h, pos_all, *words), num_keys=1, is_stable=True)
 
-    # --- 2. sorted-neighbor candidates (dense) -------------------------
+
+def _candidates_xla(hs, ps, sw, *, depth, max_dist, wcap):
+    """XLA roll/xor/ctz candidate loop (CPU / odd-shape fallback; the
+    Pallas kernel in match_pallas.py streams this through VMEM)."""
+    N = hs.shape[0]
+    pos_all = jnp.arange(N, dtype=jnp.int32)
     best_len_s = jnp.zeros(N, dtype=jnp.int32)
     best_dist_s = jnp.zeros(N, dtype=jnp.int32)
     for d in range(1, depth + 1):
@@ -220,15 +210,24 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
         better = l > best_len_s
         best_len_s = jnp.where(better, l, best_len_s)
         best_dist_s = jnp.where(better, dist, best_dist_s)
+    return best_len_s, best_dist_s
 
-    # --- 3. sort back to position order --------------------------------
+
+def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap):
+    """Per-block: sort-back + chain/run extension + heuristics
+    (vmappable). Returns (step_arr, best_len, best_dist, in_range)."""
+    N = data.shape[0]
+    pos_all = jnp.arange(N, dtype=jnp.int32)
+    in_range = pos_all < n
+
+    # --- sort back to position order ------------------------------------
     _, best_len, best_dist = jax.lax.sort(
         (ps, best_len_s, best_dist_s), num_keys=1, is_stable=True
     )
 
     # --- chain extension: contiguous same-distance full-window matches
     # merge by log-doubling on dense rolls (a match that exhausted its
-    # WCAP-byte measurement window continues through the next position's
+    # wcap-byte measurement window continues through the next position's
     # match when the distances agree).
     k = wcap
     while k < max_len:
@@ -264,20 +263,102 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     nxt_len = jnp.concatenate([best_len[1:], jnp.zeros(1, jnp.int32)])
     best_len = jnp.where(nxt_len > best_len, 0, best_len)  # lazy demote
     take = best_len >= consts.MIN_MATCH
-
-    # --- 4. exact greedy cover on the MXU --------------------------------
-    # Pallas (VMEM-resident squaring) on TPU; the XLA einsum form stays as
-    # the CPU fallback (Mosaic targets TPU only) and is selectable with
-    # COMPU_PARSE=einsum for A/B timing.
     step_arr = jnp.where(take, best_len, 1)
+    return step_arr, best_len, best_dist, in_range
+
+
+def _use_pallas_match(N: int, depth: int) -> bool:
+    if jax.default_backend() == "cpu" or os.environ.get("COMPU_MATCH") == "xla":
+        return False
+    from .match_pallas import C as _MATCH_CHUNK
+
+    return N % _MATCH_CHUNK == 0 and depth < 128
+
+
+def _cover(step_flat: jnp.ndarray) -> jnp.ndarray:
+    """Exact greedy cover over a flat (possibly multi-block) step array —
+    segments never cross block boundaries, so blocks concatenate freely.
+    Pallas (VMEM-resident squaring) on TPU; the XLA einsum form is the CPU
+    fallback and the COMPU_PARSE=einsum A/B switch."""
     if (jax.default_backend() == "cpu"
             or os.environ.get("COMPU_PARSE") == "einsum"):
-        cover = parse_cover_mxu(step_arr)
-    else:
-        from .parse_pallas import parse_cover_pallas
+        return parse_cover_mxu(step_flat)
+    from .parse_pallas import parse_cover_pallas
 
-        cover = parse_cover_pallas(step_arr)
-    is_tok = cover & in_range
+    return parse_cover_pallas(step_flat)
+
+
+def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
+                    max_dist: int = consts.WINDOW_SIZE, max_len: int = consts.MAX_MATCH,
+                    clip_seg: bool = True, wcap: int = WCAP):
+    """Shared device LZ stage (single block): sort-carried matching +
+    chain/run extension + exact greedy cover. Returns (is_tok bool[N],
+    best_len i32[N], best_dist i32[N]) — the token cover all three formats
+    consume (DEFLATE directly on device; zstd/brotli through their host
+    entropy stages). Batched callers use match_and_parse_batch, which
+    lifts the Pallas stages out of vmap.
+
+    Matches always clip at SEG boundaries (the exact greedy cover is
+    segment-local — see parse_cover_mxu for why the alternatives lose);
+    every segment therefore starts on a token boundary, which the
+    segment-index decode path and the v2 einsum pack rely on. ``clip_seg``
+    is accepted for call-site documentation; both values currently
+    produce the clipped cover."""
+    N = data.shape[0]
+    sorted_ops = _sort_stage(data, n, wcap=wcap)
+    hs, ps = sorted_ops[0], sorted_ops[1]
+    sw = sorted_ops[2:]
+    if _use_pallas_match(N, depth):
+        from .match_pallas import match_candidates_pallas
+
+        best_len_s, best_dist_s = match_candidates_pallas(
+            hs, ps, tuple(sw), depth=depth, max_dist=max_dist, block_elems=N
+        )
+    else:
+        best_len_s, best_dist_s = _candidates_xla(
+            hs, ps, sw, depth=depth, max_dist=max_dist, wcap=wcap
+        )
+    step_arr, best_len, best_dist, in_range = _post_match(
+        data, n, ps, best_len_s, best_dist_s, max_len=max_len, wcap=wcap
+    )
+    is_tok = _cover(step_arr) & in_range
+    return is_tok, best_len, best_dist
+
+
+def match_and_parse_batch(datas: jnp.ndarray, ns: jnp.ndarray, *,
+                          depth: int = 8,
+                          max_dist: int = consts.WINDOW_SIZE,
+                          max_len: int = consts.MAX_MATCH,
+                          clip_seg: bool = True, wcap: int = WCAP):
+    """match_and_parse over a (B, N) block matrix. The elementwise stages
+    vmap; the Pallas matcher and cover run ONCE over the flattened batch
+    (vmap of ANY-memory-space pallas_call is unsupported, and one flat
+    call is better anyway — per-block masking uses the static block
+    size)."""
+    B, N = datas.shape
+    sort_fn = functools.partial(_sort_stage, wcap=wcap)
+    sorted_ops = jax.vmap(sort_fn)(datas, ns)
+    hs, ps = sorted_ops[0], sorted_ops[1]
+    sw = sorted_ops[2:]
+    if _use_pallas_match(N, depth):
+        from .match_pallas import match_candidates_pallas
+
+        bl_f, bd_f = match_candidates_pallas(
+            hs.reshape(-1), ps.reshape(-1),
+            tuple(w.reshape(-1) for w in sw),
+            depth=depth, max_dist=max_dist, block_elems=N,
+        )
+        best_len_s = bl_f.reshape(B, N)
+        best_dist_s = bd_f.reshape(B, N)
+    else:
+        cand_fn = functools.partial(
+            _candidates_xla, depth=depth, max_dist=max_dist, wcap=wcap)
+        best_len_s, best_dist_s = jax.vmap(cand_fn)(hs, ps, sw)
+    post_fn = functools.partial(_post_match, max_len=max_len, wcap=wcap)
+    step_arr, best_len, best_dist, in_range = jax.vmap(post_fn)(
+        datas, ns, ps, best_len_s, best_dist_s
+    )
+    is_tok = _cover(step_arr.reshape(-1)).reshape(B, N) & in_range
     return is_tok, best_len, best_dist
 
 

@@ -48,7 +48,8 @@ import jax.numpy as jnp
 
 from ..formats.deflate import consts
 from .deflate_jax import ADLER_MOD
-from .deflate_jax_v2 import SEG, _device_crc_register, match_and_parse
+from .deflate_jax_v2 import (SEG, _device_crc_register, match_and_parse,
+                             match_and_parse_batch)
 
 CAPBITS = 12   # max lit/len/dist code length (<= RFC's 15; keeps pack rows 4B)
 CLCAP = 7      # max code-length-code length (RFC limit)
@@ -246,12 +247,15 @@ def _hist_mxu(sym: jnp.ndarray, mask: jnp.ndarray, nbins: int) -> jnp.ndarray:
 
 def _tokens_and_hist(data, n, *, depth, clip_seg=False, wcap=32):
     """Stage 1: LZ tokens + per-block symbol histograms (device)."""
-    N = data.shape[0]
-    pos_all = jnp.arange(N, dtype=jnp.int32)
-    in_range = pos_all < n
     is_tok, best_len, best_dist = match_and_parse(
         data, n, depth=depth, clip_seg=clip_seg, wcap=wcap
     )
+    return _tok_hist_from_match(data, n, is_tok, best_len, best_dist)
+
+
+def _tok_hist_from_match(data, n, is_tok, best_len, best_dist):
+    """Token symbol decomposition + histograms from a computed cover
+    (vmappable; the batch path computes the cover once for all blocks)."""
     take = best_len >= consts.MIN_MATCH
     is_match_tok = is_tok & take
     is_lit = is_tok & ~take
@@ -602,17 +606,22 @@ def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
     if cap == 0:
         cap = N + N // 4 + 64
 
-    def stage1(data, n):
-        tok, lf, df, xl, xd = _tokens_and_hist(
-            data, n, depth=depth, clip_seg=with_index, wcap=wcap
+    # Match+cover run at the batch level (the Pallas matcher/cover take
+    # the flattened batch; vmap of ANY-memory-space pallas_call is
+    # unsupported); the elementwise token/histogram stage vmaps.
+    is_tok_b, bl_b, bd_b = match_and_parse_batch(
+        blocks, lens, depth=depth, clip_seg=with_index, wcap=wcap
+    )
+
+    def stage1(data, n, is_tok, best_len, best_dist):
+        tok, lf, df, xl, xd = _tok_hist_from_match(
+            data, n, is_tok, best_len, best_dist
         )
         chk = _block_checksum(data, n, check)
         return tok, lf, df, xl, xd, chk
 
-    # vmap (not lax.map): the dominant op is the sort-carried match, and
-    # batched sorts run far cheaper than B sequential sorts (measured:
-    # 8x32K batched ~ one 256K sort); all other stage-1 ops batch densely.
-    tok, lf, df, xl, xd, chks = jax.vmap(stage1)(blocks, lens)
+    tok, lf, df, xl, xd, chks = jax.vmap(stage1)(
+        blocks, lens, is_tok_b, bl_b, bd_b)
     tables = jax.vmap(_build_tables)(lf, df, xl, xd, lens)
 
     def stage3(args):
