@@ -57,7 +57,10 @@ def test_brotli_beats_reference(name):
     data = (DATA / name).read_bytes()
     fixture = len((DATA / f"{name}.br").read_bytes())
     blob = _encode(ct.encoder.Interface.brotli(BrotliOptions(quality=11)), data)
-    # No foreign brotli oracle in this image: decode-back with our own
-    # RFC 7932 decoder (itself validated against the golden fixtures).
+    # Foreign oracle (system libbrotli) plus decode-back with our own
+    # RFC 7932 decoder.
+    import brotli_oracle
+
+    assert brotli_oracle.decompress(blob, len(data) + 64) == data
     assert _decode_ours(ct.decoder.Interface.brotli(), blob) == data
     assert len(blob) <= fixture, (len(blob), fixture)
