@@ -113,7 +113,11 @@ def main() -> None:
         BlockParallelEncoder,
     )
 
-    corpus = build_corpus()
+    # --smoke (CI): tiny corpus, one pass, no chained kernel timing —
+    # validates the full pipeline end-to-end and FAILS on any crash or
+    # roundtrip mismatch (the job has no `|| true`).
+    smoke = "--smoke" in sys.argv
+    corpus = build_corpus(4 << 20 if smoke else 16 << 20)
     n = len(corpus)
 
     fn = make_block_encode_fn(
@@ -127,7 +131,7 @@ def main() -> None:
 
     best = float("inf")
     stream = index = None
-    for _ in range(3):
+    for _ in range(1 if smoke else 3):
         t0 = time.time()
         stream, index = enc.encode(corpus)
         best = min(best, time.time() - t0)
@@ -160,7 +164,7 @@ def main() -> None:
     except Exception:
         dt_nat = float("inf")
 
-    kern = kernel_only_gbps(corpus)
+    kern = 0.0 if smoke else kernel_only_gbps(corpus)
 
     gbps = n / dt / 1e9
     ratio = n / len(stream)

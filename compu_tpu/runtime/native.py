@@ -9,6 +9,7 @@ host-side speed.
 from __future__ import annotations
 
 import ctypes
+import os
 import pathlib
 import subprocess
 import threading
@@ -31,17 +32,23 @@ def _load():
         _tried = True
         try:
             srcs = [p for p in _SRCS if p.exists()]
-            if not _SO.exists() or any(
-                _SO.stat().st_mtime < p.stat().st_mtime for p in srcs
+            # COMPU_NATIVE_CFLAGS (e.g. "-fsanitize=address,undefined" in
+            # the CI asan job — the valgrind analogue of the reference's
+            # rust.yml:83-88) appends to the compile line and switches the
+            # cache filename so sanitized/plain builds never collide.
+            extra = os.environ.get("COMPU_NATIVE_CFLAGS", "").split()
+            so = _SO if not extra else _SO.with_name("libcompu_runtime_san.so")
+            if not so.exists() or any(
+                so.stat().st_mtime < p.stat().st_mtime for p in srcs
             ):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO),
-                     *map(str, srcs)],
+                    ["g++", "-O3", "-shared", "-fPIC", *extra,
+                     "-o", str(so), *map(str, srcs)],
                     check=True,
                     capture_output=True,
                     timeout=120,
                 )
-            lib = ctypes.CDLL(str(_SO))
+            lib = ctypes.CDLL(str(so))
             lib.compu_crc32.restype = ctypes.c_uint32
             lib.compu_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
             lib.compu_adler32.restype = ctypes.c_uint32
