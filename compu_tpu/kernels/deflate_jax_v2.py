@@ -221,9 +221,14 @@ def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap):
     in_range = pos_all < n
 
     # --- sort back to position order ------------------------------------
-    _, best_len, best_dist = jax.lax.sort(
-        (ps, best_len_s, best_dist_s), num_keys=1, is_stable=True
-    )
+    # (len, dist) pack into one payload word (len <= wcap <= 32 -> 6 bits,
+    # dist <= 32768 -> 16 bits): sort cost scales steeply with operand
+    # count (PLAN.md), so key+1 beats key+2. Keys are a permutation —
+    # no stability needed.
+    packed = best_len_s | (best_dist_s << 6)
+    _, packed = jax.lax.sort((ps, packed), num_keys=1, is_stable=False)
+    best_len = packed & 63
+    best_dist = packed >> 6
 
     # --- chain extension: contiguous same-distance full-window matches
     # merge by log-doubling on dense rolls (a match that exhausted its
@@ -267,6 +272,94 @@ def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap):
     return step_arr, best_len, best_dist, in_range
 
 
+def _merge_seg_boundaries(is_tok, best_len, best_dist, n,
+                          max_len: int = consts.MAX_MATCH):
+    """Post-cover merge of same-distance matches across SEG boundaries.
+
+    The exact greedy cover clips every match at its segment end (a match
+    that would cross gets length == seg_rem, i.e. it ends EXACTLY on the
+    boundary), so long repeats degrade to 128-byte pieces — the largest
+    itemized chunk of the ratio gap vs gzip -6 (VERDICT r2). This pass
+    stitches a boundary-ending match to the next segment's first token
+    when the distances agree and the sum fits the format cap:
+
+    * boundary b is LINKED when segment b-1's last token ends exactly at
+      b*SEG as a match, segment b's first token is a match with the same
+      distance, and the combined length <= 258 (RFC1951 cap);
+    * chains of linked boundaries (a long run covering whole segments)
+      pair up greedily from the chain head — merge only boundaries at odd
+      run positions, so 128+128 pieces become 256s without conflicting
+      simultaneous updates;
+    * the absorbing token's length grows; the absorbed token's start is
+      cleared from the cover. Downstream consumers see output-coverage
+      overflow into the next segment, exported to the indexed decoder as
+      a per-segment ``ov`` (see cover_overflow).
+
+    All dense (S,)-shaped ops — vmappable, single block. Returns updated
+    (is_tok, best_len)."""
+    N = is_tok.shape[0]
+    S = N // SEG
+    pos = jnp.arange(N, dtype=jnp.int32)
+    seg_rem = SEG - (pos & (SEG - 1))
+    tl = jnp.where(is_tok, best_len, 0).reshape(S, SEG)
+    td = jnp.where(is_tok, best_dist, 0).reshape(S, SEG)
+    # segment b-1's boundary-ending match (unique per row: coverage is
+    # disjoint and only the final token can end on the boundary)
+    ends = (tl >= consts.MIN_MATCH) & (tl == seg_rem.reshape(S, SEG))
+    len_end = jnp.sum(jnp.where(ends, tl, 0), axis=1)
+    dist_end = jnp.sum(jnp.where(ends, td, 0), axis=1)
+    has_end = jnp.any(ends, axis=1)
+    # segment b's first token
+    first_len = tl[:, 0]
+    first_dist = td[:, 0]
+    first_match = is_tok.reshape(S, SEG)[:, 0] & (first_len >= consts.MIN_MATCH)
+    linked = jnp.concatenate([
+        jnp.zeros(1, bool),
+        (has_end[:-1] & first_match[1:]
+         & (dist_end[:-1] == first_dist[1:])
+         & (len_end[:-1] + first_len[1:] <= max_len)
+         & (jnp.arange(1, S) * SEG < n)),
+    ])
+    # run position within each chain of consecutive linked boundaries
+    # (log-doubling run length ending at b); merge odd positions only so
+    # pairs are disjoint: (t0,t1), (t2,t3), ...
+    run = linked.astype(jnp.int32)
+    step = 1
+    while step < S:
+        prev = jnp.concatenate([jnp.zeros(step, jnp.int32), run[:-step]])
+        run = run + jnp.where(run == step, prev, 0)
+        step *= 2
+    merge = linked & ((run & 1) == 1)
+    # apply: extend the absorbing token (row b-1), clear the absorbed one
+    add = jnp.concatenate([jnp.where(merge[1:], first_len[1:], 0),
+                           jnp.zeros(1, jnp.int32)])  # per row b-1
+    new_tl = jnp.where(ends & (add[:, None] > 0), tl + add[:, None], tl)
+    best_len = jnp.where(is_tok, new_tl.reshape(N), best_len)
+    drop_first = jnp.zeros((S, SEG), bool).at[:, 0].set(merge)
+    is_tok = is_tok & ~drop_first.reshape(N)
+    return is_tok, best_len
+
+
+def cover_overflow(is_tok, best_len):
+    """Per-segment output-coverage overflow ``ov[s]`` (i32[S], 0..255):
+    how far the last token starting before s*SEG runs into segment s
+    (a merged match can overflow up to 255 bytes: a 258-byte match
+    starting 3 bytes before the boundary — a segment can even be covered
+    entirely, making its lane inert). 0 everywhere when no merged
+    (cross-boundary) tokens exist. The indexed decoder starts lane s at
+    output offset ov[s] and targets SEG + ov[s+1] - ov[s] bytes."""
+    N = is_tok.shape[0]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    end = jnp.where(is_tok, pos + jnp.maximum(best_len, 1), 0)
+    reach = jax.lax.cummax(end)
+    S = N // SEG
+    # overflow into segment s = coverage reach just before s*SEG, minus s*SEG
+    prev_reach = reach.reshape(S, SEG)[:, SEG - 1]  # reach at each seg end
+    ov = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          prev_reach[:-1] - jnp.arange(1, S) * SEG])
+    return jnp.clip(ov, 0, 255)
+
+
 def _use_pallas_match(N: int, depth: int) -> bool:
     if jax.default_backend() == "cpu" or os.environ.get("COMPU_MATCH") == "xla":
         return False
@@ -298,12 +391,15 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     entropy stages). Batched callers use match_and_parse_batch, which
     lifts the Pallas stages out of vmap.
 
-    Matches always clip at SEG boundaries (the exact greedy cover is
-    segment-local — see parse_cover_mxu for why the alternatives lose);
-    every segment therefore starts on a token boundary, which the
-    segment-index decode path and the v2 einsum pack rely on. ``clip_seg``
-    is accepted for call-site documentation; both values currently
-    produce the clipped cover."""
+    The exact greedy cover clips matches at SEG boundaries (it is
+    segment-local — see parse_cover_mxu for why the alternatives lose),
+    then _merge_seg_boundaries stitches same-distance matches back
+    together across boundaries up to the 258 format cap, so the delivered
+    cover is unclipped wherever the matcher found the continuation.
+    Segment starts are token boundaries EXCEPT where a merged token
+    overflows; the indexed decode path consumes the per-segment overflow
+    (cover_overflow) alongside the bit offsets. ``clip_seg`` is accepted
+    for call-site documentation; both values produce the merged cover."""
     N = data.shape[0]
     sorted_ops = _sort_stage(data, n, wcap=wcap)
     hs, ps = sorted_ops[0], sorted_ops[1]
@@ -322,6 +418,8 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
         data, n, ps, best_len_s, best_dist_s, max_len=max_len, wcap=wcap
     )
     is_tok = _cover(step_arr) & in_range
+    is_tok, best_len = _merge_seg_boundaries(is_tok, best_len, best_dist, n,
+                                             max_len=max_len)
     return is_tok, best_len, best_dist
 
 
@@ -359,6 +457,8 @@ def match_and_parse_batch(datas: jnp.ndarray, ns: jnp.ndarray, *,
         datas, ns, ps, best_len_s, best_dist_s
     )
     is_tok = _cover(step_arr.reshape(-1)).reshape(B, N) & in_range
+    merge_fn = functools.partial(_merge_seg_boundaries, max_len=max_len)
+    is_tok, best_len = jax.vmap(merge_fn)(is_tok, best_len, best_dist, ns)
     return is_tok, best_len, best_dist
 
 
@@ -407,8 +507,10 @@ def _device_crc_register(data: jnp.ndarray) -> jnp.ndarray:
 def device_tokens(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                   max_dist: int = consts.WINDOW_SIZE):
     """Jitted export of the shared LZ stage for the zstd/brotli hybrid
-    pipelines (device match+parse, host entropy coding). Unclipped cover —
-    the consumers impose no segment structure."""
+    pipelines (device match+parse, host entropy coding). The cover is
+    segment-merged (matches cross SEG boundaries up to 258 bytes wherever
+    the matcher found the continuation) — the consumers impose no segment
+    structure of their own."""
     return match_and_parse(data, n, depth=depth, max_dist=max_dist,
                            clip_seg=False)
 
@@ -536,6 +638,9 @@ def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
         chk = (b.astype(jnp.uint32) << 16) | a.astype(jnp.uint32)
     meta = jnp.stack([out_len.astype(jnp.int32), chk.astype(jnp.int32)])
     if with_index:
-        seg_bits = off_f0.reshape(-1, SEG)[:, 0]  # bit offset of each segment
+        # bit offset of each segment's first token, with the output
+        # overflow of the previous segment's merged match in bits 24..31
+        seg_bits = (off_f0.reshape(-1, SEG)[:, 0]
+                    | (cover_overflow(is_tok, best_len) << 24))
         return out_u8, meta, seg_bits
     return out_u8, meta

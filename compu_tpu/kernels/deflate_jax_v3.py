@@ -269,8 +269,11 @@ def _tok_hist_from_match(data, n, is_tok, best_len, best_dist):
     dist_freq = _hist_mxu(dsym, is_match_tok, NDIST)
     extra_l_bits = jnp.sum(jnp.where(is_match_tok, e_l, 0))
     extra_d_bits = jnp.sum(jnp.where(is_match_tok, e_d, 0))
+    from .deflate_jax_v2 import cover_overflow
+
     tok = dict(is_tok=is_tok, is_match=is_match_tok, is_lit=is_lit, sym=sym,
-               e_l=e_l, lextra=lextra, dsym=dsym, e_d=e_d, dextra=dextra)
+               e_l=e_l, lextra=lextra, dsym=dsym, e_d=e_d, dextra=dextra,
+               ov=cover_overflow(is_tok, best_len))
     return tok, lit_freq, dist_freq, extra_l_bits, extra_d_bits
 
 
@@ -567,8 +570,12 @@ def _emit(data, n, tok, tables, *, cap, with_index):
     if with_index:
         # Segment bit offsets (dynamic blocks put segment 0 after the
         # header; stored blocks flag with -1 so the decoder takes the
-        # stored path).
-        seg_bits = jnp.where(use_stored, -1, off_f0.reshape(S, SEG)[:, 0])
+        # stored path). Bits 24..31 carry the previous segment's merged-
+        # match output overflow (cover_overflow) for the decoder's lane
+        # start offsets.
+        seg_bits = jnp.where(
+            use_stored, -1,
+            off_f0.reshape(S, SEG)[:, 0] | (tok["ov"] << 24))
         return out_u8, out_len, seg_bits
     return out_u8, out_len
 

@@ -115,7 +115,24 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
     lane = jnp.arange(L, dtype=jnp.int32)
     blk = lane // S
     seg = lane % S
-    target = jnp.clip(ns[blk] - seg * SEG, 0, SEG)
+    # seg_bits packs the segment's first-token bit offset (bits 0..23) and
+    # the output overflow of the previous segment's merged cross-boundary
+    # match (bits 24..31) — see deflate_jax_v2.cover_overflow.
+    seg_flat = seg_bits.reshape(L).astype(jnp.int32)
+    ov = (seg_flat >> 24) & 0xFF
+    bit0 = seg_flat & 0xFFFFFF
+    ov_next = jnp.where(
+        seg + 1 < S,
+        (jnp.concatenate([seg_flat[1:], jnp.zeros(1, jnp.int32)]) >> 24) & 0xFF,
+        0,
+    )
+    # lane output: [seg*SEG + ov, min((seg+1)*SEG + ov_next, ns)), tracked
+    # relative to seg*SEG (so outp and token starts fit 9 bits: <= 383;
+    # a fully-overflowed segment has ov >= target and its lane is inert).
+    target = jnp.clip(
+        jnp.minimum((seg + 1) * SEG + ov_next, ns[blk]) - seg * SEG,
+        0, SEG + 255,
+    )
     bit_base = blk * (CAP * 8)
 
     def step(carry):
@@ -153,15 +170,16 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
         advance = jnp.where(is_lit, clen, jnp.where(is_match, used + dbits, 0))
         outlen = jnp.where(is_lit, 1, jnp.where(is_match, mlen, 0))
 
-        # ONE packed u32 record per token — start (8b) | byte+1 (9b,
-        # 0 = match) | dist-1 (15b) — so expansion needs a single gather.
-        # Records live as (SEG, L): writing step t is one contiguous ROW
-        # update (minor-axis column updates force strided copies).
-        pack = jnp.where(is_lit, byte + 1, 0)
+        # ONE packed u32 record per token — start (9b, 511 = inactive) |
+        # is_lit (1b) | payload (lit byte / dist-1, 15b) — so expansion
+        # needs a single gather. Records live as (SEG, L): writing step t
+        # is one contiguous ROW update (minor-axis column updates force
+        # strided copies).
+        payload = jnp.where(is_lit, byte, jnp.maximum(dist, 1) - 1)
         rec = (
-            jnp.where(active, outp, SEG).astype(jnp.uint32)
-            | (pack.astype(jnp.uint32) << 8)
-            | ((jnp.maximum(dist, 1) - 1).astype(jnp.uint32) << 17)
+            jnp.where(active, outp, 511).astype(jnp.uint32)
+            | (is_lit.astype(jnp.uint32) << 9)
+            | (payload.astype(jnp.uint32) << 10)
         )
         t_rec = jax.lax.dynamic_update_slice(t_rec, rec[None, :], (t, 0))
         return (t + 1, bit + advance, outp + outlen, t_rec, bad)
@@ -175,9 +193,12 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
 
     init = (
         jnp.int32(0),
-        seg_bits.reshape(L).astype(jnp.int32),
-        jnp.zeros(L, jnp.int32),
-        jnp.full((SEG, L), SEG, jnp.uint32),
+        bit0,
+        # inert lanes (stored blocks flagged -1, padding) unpack garbage
+        # ov; clamping to target keeps them inert AND keeps the exact
+        # outp==target integrity check true for them.
+        jnp.minimum(ov, target),
+        jnp.full((SEG, L), 511, jnp.uint32),
         jnp.zeros(L, dtype=bool),
     )
     _, bit, outp, t_rec, bad = jax.lax.while_loop(not_done, step, init)
@@ -186,36 +207,46 @@ def decode_blocks_indexed(comps: jnp.ndarray, seg_bits: jnp.ndarray, ns: jnp.nda
     return _expand_and_resolve(t_rec, lane, ns, ok, B=B, N=N, S=S)
 
 
-def _expand_and_resolve(t_rec, lane, ns, ok, *, B, N, S):
-    """Shared phases 2+3 of indexed decode: token-id expansion (boundary
-    scatter + cumsum), then pointer-doubling back-reference resolution.
-    ``t_rec`` is (L, SEG) packed token records from a scan phase."""
+def _expand_and_resolve(t_rec, lane, ns, ok, *, B, N, S, R=SEG):
+    """Shared phases 2+3 of indexed decode: token-id expansion (slot
+    scatter + running max), then pointer-doubling back-reference
+    resolution. ``t_rec`` is (L, R) packed token records from a scan
+    phase (R record slots per lane): start-in-lane-frame (9b, 511 =
+    inactive) | is_lit (1b) | payload (lit byte / dist-1, 15b). Merged
+    matches cross segment boundaries, so a position's governing token may
+    live in an earlier lane — the slot ids are globally monotone in flat
+    start position (stream order), making cummax the expansion."""
     # --- expansion: per-position token id ------------------------------
+    L = B * S
     NT = B * N
-    t_start = (t_rec & jnp.uint32(0xFF)).astype(jnp.int32)  # (L, SEG)
+    t_start = (t_rec & jnp.uint32(0x1FF)).astype(jnp.int32)  # (L, R)
     lane_out_base = lane * SEG  # == flat output offset of the lane's segment
     flat_start = (lane_out_base[:, None] + t_start).reshape(-1)
-    boundary = jnp.zeros(NT + SEG, jnp.int32).at[
-        jnp.clip(flat_start, 0, NT + SEG - 1)
-    ].add(jnp.where(t_start.reshape(-1) < SEG, 1, 0))[:NT]
-    tokid_in_lane = jnp.cumsum(boundary.reshape(L, SEG), axis=1) - 1
-    tokid_flat = jnp.clip(
-        (lane[:, None] * SEG + tokid_in_lane).reshape(-1), 0, L * SEG - 1
-    )
+    valid_tok = t_start.reshape(-1) < 511
+    slot = jnp.arange(L * R, dtype=jnp.int32) + 1  # row-major (lane, t)
+    slot_at = jnp.zeros(NT + SEG + 512, jnp.int32).at[
+        jnp.clip(flat_start, 0, NT + SEG + 511)
+    ].max(jnp.where(valid_tok, slot, 0))[:NT]
+    tokid_flat = jnp.clip(jax.lax.cummax(slot_at) - 1, 0, L * R - 1)
 
     rec_of = t_rec.reshape(-1)[tokid_flat]  # the ONE expansion gather
-    pack_of = ((rec_of >> 8) & jnp.uint32(0x1FF)).astype(jnp.int32)  # byte+1
-    dist_of = ((rec_of >> 17) & jnp.uint32(0x7FFF)).astype(jnp.int32) + 1
+    is_lit_pos = ((rec_of >> 9) & jnp.uint32(1)) > 0
+    payload_of = ((rec_of >> 10) & jnp.uint32(0x7FFF)).astype(jnp.int32)
+    pack_of = jnp.where(is_lit_pos, payload_of + 1, 0)  # byte+1, 0 = match
+    dist_of = payload_of + 1
 
     gp = jnp.arange(NT, dtype=jnp.int32)
-    # A token's lane is its position's lane (tokens never cross segments),
-    # so the global start comes from the record, not a second gather.
-    start_of = (gp & ~(SEG - 1)) + (rec_of & jnp.uint32(0xFF)).astype(jnp.int32)
+    # A token's global start = its lane's base + the recorded lane-frame
+    # start (tokens CAN cross segment boundaries after merging; the lane
+    # comes from the slot id, not from the position).
+    start_of = ((tokid_flat // R) * SEG
+                + (rec_of & jnp.uint32(0x1FF)).astype(jnp.int32))
     rel = gp - start_of
-    is_lit_pos = pack_of > 0
-    # rel < SEG and dist >= 1, so rel mod dist is exact in f32 (quotient
-    # <= 127, f32 division error < 2^-17 < the 1/dist gap) — integer mod
-    # lowers poorly on the VPU.
+    # rel < 258 and dist >= 1, so rel mod dist is exact in f32: exact
+    # integer quotients divide exactly (IEEE correct rounding), and
+    # non-integer quotients sit >= 1/dist >= 2^-15 from the nearest
+    # integer while the rounding error is <= ulp(258)/2 < 2^-16. Integer
+    # mod lowers poorly on the VPU.
     q = jnp.floor(rel.astype(jnp.float32) / dist_of.astype(jnp.float32))
     relmod = rel - q.astype(jnp.int32) * dist_of
     # Signed roots: resolved positions carry -(byte+1); unresolved carry a

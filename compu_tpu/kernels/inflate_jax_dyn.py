@@ -123,7 +123,20 @@ def decode_blocks_indexed_dyn(comps: jnp.ndarray, seg_bits: jnp.ndarray,
     lane = jnp.arange(L, dtype=jnp.int32)
     blk = lane // S
     seg = lane % S
-    target = jnp.clip(ns[blk] - seg * SEG, 0, SEG)
+    # seg_bits packs the first-token bit offset (bits 0..23) and the
+    # previous segment's merged-match output overflow (bits 24..31).
+    seg_flat = seg_bits.reshape(L).astype(jnp.int32)
+    ov = (seg_flat >> 24) & 0xFF
+    bit0 = seg_flat & 0xFFFFFF
+    ov_next = jnp.where(
+        seg + 1 < S,
+        (jnp.concatenate([seg_flat[1:], jnp.zeros(1, jnp.int32)]) >> 24) & 0xFF,
+        0,
+    )
+    target = jnp.clip(
+        jnp.minimum((seg + 1) * SEG + ov_next, ns[blk]) - seg * SEG,
+        0, SEG + 255,
+    )
     bit_base = blk * (CAP * 8)
 
     def window(bit):
@@ -164,11 +177,13 @@ def decode_blocks_indexed_dyn(comps: jnp.ndarray, seg_bits: jnp.ndarray,
         advance = jnp.where(is_lit, clen,
                             jnp.where(is_match, clen + lxb + dlen + dxb, 0))
         outlen = jnp.where(is_lit, 1, jnp.where(is_match, mlen, 0))
-        pack = jnp.where(is_lit, jnp.clip(sym, 0, 255) + 1, 0)
+        # record: start (9b, 511 = inactive) | is_lit (1b) | payload (15b)
+        payload = jnp.where(is_lit, jnp.clip(sym, 0, 255),
+                            jnp.maximum(dist, 1) - 1)
         rec = (
-            jnp.where(active, outp, SEG).astype(jnp.uint32)
-            | (pack.astype(jnp.uint32) << 8)
-            | ((jnp.maximum(dist, 1) - 1).astype(jnp.uint32) << 17)
+            jnp.where(active, outp, 511).astype(jnp.uint32)
+            | (is_lit.astype(jnp.uint32) << 9)
+            | (payload.astype(jnp.uint32) << 10)
         )
         t_rec = jax.lax.dynamic_update_slice(t_rec, rec[None, :], (t, 0))
         return (t + 1, bit + advance, outp + outlen, t_rec, bad)
@@ -179,9 +194,12 @@ def decode_blocks_indexed_dyn(comps: jnp.ndarray, seg_bits: jnp.ndarray,
 
     init = (
         jnp.int32(0),
-        seg_bits.reshape(L).astype(jnp.int32),
-        jnp.zeros(L, jnp.int32),
-        jnp.full((SEG, L), SEG, jnp.uint32),
+        bit0,
+        # inert lanes (stored blocks flagged -1, padding) unpack garbage
+        # ov; clamping to target keeps them inert AND keeps the exact
+        # outp==target integrity check true for them.
+        jnp.minimum(ov, target),
+        jnp.full((SEG, L), 511, jnp.uint32),
         jnp.zeros(L, dtype=bool),
     )
     _, bit, outp, t_rec, bad = jax.lax.while_loop(not_done, step, init)

@@ -280,6 +280,7 @@ class BlockParallelDecoder:
             decode_blocks_indexed_dyn,
             parse_block_tables,
         )
+        from ..kernels.inflate_jax_lut import decode_blocks_indexed_lut
 
         bs = self._block_size
         cap = bs + bs // 4 + 64 + 16
@@ -316,7 +317,15 @@ class BlockParallelDecoder:
                 ns[j] = index.raw_lengths[b]
                 lit_lens[j] = lit
                 dist_lens[j] = dist
-            out, ok = decode_blocks_indexed_dyn(
+            # LUT fast path covers every code the v3 encoder can emit
+            # (CAPBITS=12) and fixed trees; rare foreign indexed streams
+            # with 13..15-bit codes use the canonical-arithmetic scan.
+            decode_fn = (
+                decode_blocks_indexed_lut
+                if max(int(lit_lens.max()), int(dist_lens.max())) <= 12
+                else decode_blocks_indexed_dyn
+            )
+            out, ok = decode_fn(
                 jnp.asarray(comps), jnp.asarray(segs), jnp.asarray(ns),
                 jnp.asarray(lit_lens), jnp.asarray(dist_lens), n_out=bs
             )
