@@ -259,6 +259,10 @@ def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap):
     # --- heuristics ----------------------------------------------------
     limit = jnp.minimum(n - pos_all, jnp.int32(max_len))
     best_len = jnp.minimum(best_len, limit)
+    # pre-seg-clip TRUE length (XOR/ctz-verified, never overstated) — the
+    # boundary merge uses it to absorb the next segment's first token
+    # even when that token's matcher chose a different distance.
+    uncl_len = best_len
     # clip to segment end (the greedy cover is segment-local)
     seg_rem = SEG - (pos_all & (SEG - 1))
     best_len = jnp.minimum(best_len, seg_rem)
@@ -269,10 +273,10 @@ def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap):
     best_len = jnp.where(nxt_len > best_len, 0, best_len)  # lazy demote
     take = best_len >= consts.MIN_MATCH
     step_arr = jnp.where(take, best_len, 1)
-    return step_arr, best_len, best_dist, in_range
+    return step_arr, best_len, best_dist, in_range, uncl_len
 
 
-def _merge_seg_boundaries(is_tok, best_len, best_dist, n,
+def _merge_seg_boundaries(is_tok, best_len, best_dist, n, uncl_len=None,
                           max_len: int = consts.MAX_MATCH):
     """Post-cover merge of same-distance matches across SEG boundaries.
 
@@ -309,15 +313,32 @@ def _merge_seg_boundaries(is_tok, best_len, best_dist, n,
     len_end = jnp.sum(jnp.where(ends, tl, 0), axis=1)
     dist_end = jnp.sum(jnp.where(ends, td, 0), axis=1)
     has_end = jnp.any(ends, axis=1)
-    # segment b's first token
+    # segment b's first token (coverage 1 for a literal)
+    first_tok = is_tok.reshape(S, SEG)[:, 0]
     first_len = tl[:, 0]
     first_dist = td[:, 0]
-    first_match = is_tok.reshape(S, SEG)[:, 0] & (first_len >= consts.MIN_MATCH)
+    first_match = first_tok & (first_len >= consts.MIN_MATCH)
+    first_cover = jnp.where(first_match, first_len,
+                            jnp.where(first_tok, 1, 0))
+    # two independent proofs the merge is byte-valid:
+    # (a) q is a match at the SAME distance — its own verification extends
+    #     p's;
+    # (b) p's pre-clip length covers q's whole token — q's distance choice
+    #     is then irrelevant (the absorb case; q is often a literal or a
+    #     different-distance match when the matcher tie-broke elsewhere).
+    same_dist = (first_match[1:] & (dist_end[:-1] == first_dist[1:])
+                 & (len_end[:-1] + first_len[1:] <= max_len))
+    if uncl_len is not None:
+        un = jnp.where(is_tok, uncl_len, 0).reshape(S, SEG)
+        uncl_end = jnp.sum(jnp.where(ends, un, 0), axis=1)
+        absorb = (first_tok[1:] & (first_cover[1:] > 0)
+                  & (uncl_end[:-1] >= len_end[:-1] + first_cover[1:])
+                  & (len_end[:-1] + first_cover[1:] <= max_len))
+    else:
+        absorb = jnp.zeros(S - 1, bool)
     linked = jnp.concatenate([
         jnp.zeros(1, bool),
-        (has_end[:-1] & first_match[1:]
-         & (dist_end[:-1] == first_dist[1:])
-         & (len_end[:-1] + first_len[1:] <= max_len)
+        (has_end[:-1] & (same_dist | absorb)
          & (jnp.arange(1, S) * SEG < n)),
     ])
     # run position within each chain of consecutive linked boundaries
@@ -331,7 +352,7 @@ def _merge_seg_boundaries(is_tok, best_len, best_dist, n,
         step *= 2
     merge = linked & ((run & 1) == 1)
     # apply: extend the absorbing token (row b-1), clear the absorbed one
-    add = jnp.concatenate([jnp.where(merge[1:], first_len[1:], 0),
+    add = jnp.concatenate([jnp.where(merge[1:], first_cover[1:], 0),
                            jnp.zeros(1, jnp.int32)])  # per row b-1
     new_tl = jnp.where(ends & (add[:, None] > 0), tl + add[:, None], tl)
     best_len = jnp.where(is_tok, new_tl.reshape(N), best_len)
@@ -414,12 +435,12 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
         best_len_s, best_dist_s = _candidates_xla(
             hs, ps, sw, depth=depth, max_dist=max_dist, wcap=wcap
         )
-    step_arr, best_len, best_dist, in_range = _post_match(
+    step_arr, best_len, best_dist, in_range, uncl = _post_match(
         data, n, ps, best_len_s, best_dist_s, max_len=max_len, wcap=wcap
     )
     is_tok = _cover(step_arr) & in_range
     is_tok, best_len = _merge_seg_boundaries(is_tok, best_len, best_dist, n,
-                                             max_len=max_len)
+                                             uncl, max_len=max_len)
     return is_tok, best_len, best_dist
 
 
@@ -453,12 +474,13 @@ def match_and_parse_batch(datas: jnp.ndarray, ns: jnp.ndarray, *,
             _candidates_xla, depth=depth, max_dist=max_dist, wcap=wcap)
         best_len_s, best_dist_s = jax.vmap(cand_fn)(hs, ps, sw)
     post_fn = functools.partial(_post_match, max_len=max_len, wcap=wcap)
-    step_arr, best_len, best_dist, in_range = jax.vmap(post_fn)(
+    step_arr, best_len, best_dist, in_range, uncl = jax.vmap(post_fn)(
         datas, ns, ps, best_len_s, best_dist_s
     )
     is_tok = _cover(step_arr.reshape(-1)).reshape(B, N) & in_range
     merge_fn = functools.partial(_merge_seg_boundaries, max_len=max_len)
-    is_tok, best_len = jax.vmap(merge_fn)(is_tok, best_len, best_dist, ns)
+    is_tok, best_len = jax.vmap(merge_fn)(is_tok, best_len, best_dist, ns,
+                                          uncl)
     return is_tok, best_len, best_dist
 
 
