@@ -103,6 +103,104 @@ def kernel_only_gbps(corpus: bytes, batch: int = 16, chain: int = 6) -> float:
     return batch * BLOCK / per_batch / 1e9
 
 
+def decode_kernel_mbps(stream: bytes, index, batch: int = 16,
+                       chain: int = 5) -> float:
+    """On-chip indexed-inflate rate via chained dispatches: batch k+1's
+    comps xor one PAD byte (beyond the compressed length — decode-inert)
+    with batch k's first output byte, forcing serial device execution."""
+    import jax
+    import jax.numpy as jnp
+
+    from compu_tpu.kernels.inflate_jax_dyn import parse_block_tables
+    from compu_tpu.kernels.inflate_jax_lut import decode_blocks_indexed_lut
+
+    bs = BLOCK
+    cap = bs + bs // 4 + 64 + 16
+    comps = np.zeros((batch, cap), dtype=np.uint8)
+    segs = np.zeros((batch, bs // 128), dtype=np.int32)
+    ns = np.zeros(batch, dtype=np.int32)
+    lit_lens = np.zeros((batch, 286), dtype=np.int32)
+    dist_lens = np.zeros((batch, 30), dtype=np.int32)
+    j = 0
+    for b in range(len(index.raw_lengths)):
+        if j == batch:
+            break
+        off = index.compressed_offsets[b]
+        clen = index.compressed_lengths[b]
+        blob = stream[off : off + clen]
+        kind, lit, dist, _ = parse_block_tables(blob[:4096])
+        if kind == 0 or int(np.asarray(index.segment_bits[b])[0]) < 0:
+            continue  # stored block: no entropy decode to measure
+        comps[j, :clen] = np.frombuffer(blob, dtype=np.uint8)
+        segs[j] = np.asarray(index.segment_bits[b], dtype=np.int32)
+        ns[j] = index.raw_lengths[b]
+        lit_lens[j] = lit
+        dist_lens[j] = dist
+        j += 1
+    if j < batch:
+        return 0.0
+    dev = jax.device_put(comps)
+    segs_d = jnp.asarray(segs)
+    ns_d = jnp.asarray(ns)
+    ll_d = jnp.asarray(lit_lens)
+    dl_d = jnp.asarray(dist_lens)
+
+    def run(k):
+        c = dev
+        out = None
+        for _ in range(k):
+            if out is not None:
+                c = dev.at[0, cap - 1].set(out[0] & 1)
+            out, ok = decode_blocks_indexed_lut(
+                c, segs_d, ns_d, ll_d, dl_d, n_out=bs)
+        return np.asarray(out[:1]), np.asarray(ok)
+
+    run(1); run(2)
+    t0 = time.perf_counter(); run(1); t1 = time.perf_counter()
+    t2 = time.perf_counter(); run(chain); t3 = time.perf_counter()
+    per = ((t3 - t2) - (t1 - t0)) / (chain - 1)
+    return batch * bs / per / 1e6
+
+
+def hybrid_format_numbers(corpus: bytes, smoke: bool) -> dict:
+    """zstd / brotli device-LZ hybrid encode rates + ratios on a corpus
+    slice (their entropy stages are host-side; the slice keeps the bench
+    bounded). Decode-back validates via the foreign libraries."""
+    import zstandard as zstd_mod
+
+    from compu_tpu import encoder
+    from compu_tpu.formats.zstd.options import ZstdOptions
+    from compu_tpu.formats.brotli.options import BrotliOptions
+    from compu_tpu.status import EncodeOp
+
+    sys.path.insert(0, "tests")
+    import brotli_oracle
+
+    sl = corpus[: (1 << 20) if smoke else (4 << 20)]
+    out = {}
+    for name, iface, dec in (
+        ("zstd", encoder.Interface.zstd(ZstdOptions(level=3, device_lz=True)),
+         lambda b: zstd_mod.ZstdDecompressor().decompress(
+             b, max_output_size=len(sl) + 64)),
+        ("brotli", encoder.Interface.brotli(
+            BrotliOptions(quality=5, device_lz=True)),
+         lambda b: brotli_oracle.decompress(b, len(sl) + 64)),
+    ):
+        try:
+            buf = bytearray(len(sl) + (len(sl) >> 1) + 4096)
+            t0 = time.time()
+            res = iface.encode(sl, memoryview(buf), EncodeOp.Finish)
+            dt = time.time() - t0
+            produced = len(buf) - res.output_remain
+            blob = bytes(buf[:produced])
+            assert dec(blob) == sl, f"{name} hybrid roundtrip"
+            out[f"{name}_hybrid_MBps"] = round(len(sl) / dt / 1e6, 1)
+            out[f"{name}_ratio"] = round(len(sl) / len(blob), 2)
+        except Exception as exc:  # pragma: no cover - report, don't fail bench
+            out[f"{name}_hybrid_error"] = type(exc).__name__
+    return out
+
+
 def main() -> None:
     import jax
 
@@ -165,6 +263,8 @@ def main() -> None:
         dt_nat = float("inf")
 
     kern = 0.0 if smoke else kernel_only_gbps(corpus)
+    dec_kern = 0.0 if smoke else decode_kernel_mbps(stream, index)
+    fmt = hybrid_format_numbers(corpus, smoke)
 
     gbps = n / dt / 1e9
     ratio = n / len(stream)
@@ -177,8 +277,10 @@ def main() -> None:
             "kernel_only_GBps": round(kern, 3),
             "ratio": round(ratio, 2),
             "decode_device_MBps": round(n / dt_dec / 1e6, 1),
+            "decode_kernel_MBps": round(dec_kern, 1),
             "decode_native_host_MBps": round(n / dt_nat / 1e6, 1),
             "level": LEVEL,
+            **fmt,
         },
     }
     print(json.dumps(result))

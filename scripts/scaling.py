@@ -102,6 +102,8 @@ def measure(n: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=0, help="internal: one mesh size")
+    ap.add_argument("--json", type=str, default="",
+                    help="persist rows + efficiency table to this JSON file")
     args = ap.parse_args()
     if args.n:
         print(json.dumps(measure(args.n)))
@@ -130,8 +132,21 @@ def main() -> None:
     print("|---|---|---|---|")
     for row in rows:
         cons = row["MB_s"] / base
+        row["work_conservation_pct"] = round(cons * 100, 1)
         print(f"| {row['devices']} | {row['MB_s']} | {cons*100:.0f}% "
               f"| {row['collective_overhead_pct']}% |")
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump({
+                "note": ("virtual CPU devices share physical cores, so "
+                         "total MB/s staying flat == work conservation; "
+                         "collective_overhead_pct is the sharded-step cost "
+                         "of the all_gather/psum ordering metadata vs the "
+                         "same step without collectives (the part that "
+                         "rides ICI on real chips)"),
+                "rows": rows,
+            }, fh, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
