@@ -143,6 +143,18 @@ class Interface:
         return Decoder(pipeline.NativeDeflateDecoder(options))
 
     @staticmethod
+    def zlib_device(options=None) -> Decoder:
+        """Same format, TPU speculative-resync inflate — the third full
+        decode implementation behind one Interface (reference pattern:
+        Interface::zlib_rust, src/decoder/zlib_rust.rs:87-101). Decodes
+        arbitrary FOREIGN streams on device (48-entry-phase chunk scan +
+        stream-global back-reference resolution); see
+        formats/deflate/device_inflate.py and docs/DEVICE_DECODE.md."""
+        from .formats.deflate import device_inflate
+
+        return Decoder(device_inflate.DeviceDeflateDecoder(options))
+
+    @staticmethod
     def zstd(options=None) -> Decoder:
         from .formats.zstd import pipeline
 

@@ -60,30 +60,31 @@ def _rev_bits_arr(v, nbits):
     return r
 
 
-def _lut_decode_all(lengths, A):
-    """Decode EVERY LUT_BITS-bit raw (LSB-first) window against one code:
-    returns (sym, clen, ok) arrays of shape (LUT,). Codes longer than
-    LUT_BITS mark ok=False (cannot appear in a CAPBITS-12 stream)."""
+def _lut_decode_all(lengths, A, nbits=LUT_BITS):
+    """Decode EVERY nbits-bit raw (LSB-first) window against one code:
+    returns (sym, clen, ok) arrays of shape (2^nbits,). Codes longer than
+    nbits mark ok=False (nbits=12 covers every CAPBITS-12 self-produced
+    stream; the foreign path uses nbits=15, the RFC maximum)."""
     count, first, base, symlist = _canon_tables(lengths, A)
-    v = jnp.arange(LUT, dtype=jnp.int32)
-    rv = _rev_bits_arr(v, LUT_BITS)
-    ls = jnp.arange(1, LUT_BITS + 1)
-    cand = rv[:, None] >> (LUT_BITS - ls)[None, :]          # (LUT, 12)
-    okl = (cand >= first[None, :LUT_BITS]) \
-        & (cand < (first + count)[None, :LUT_BITS])
+    v = jnp.arange(1 << nbits, dtype=jnp.int32)
+    rv = _rev_bits_arr(v, nbits)
+    ls = jnp.arange(1, nbits + 1)
+    cand = rv[:, None] >> (nbits - ls)[None, :]             # (2^nbits, nbits)
+    okl = (cand >= first[None, :nbits]) \
+        & (cand < (first + count)[None, :nbits])
     l_idx = jnp.argmax(okl, axis=1)
     any_ok = jnp.any(okl, axis=1)
-    rows = jnp.arange(LUT)
+    rows = jnp.arange(1 << nbits)
     off = base[l_idx] + cand[rows, l_idx] - first[l_idx]
     sym = symlist[jnp.clip(off, 0, A - 1)]
     return sym, (l_idx + 1).astype(jnp.int32), any_ok
 
 
-def _lit_lut_block(lit_lens):
-    """(LUT,) packed lit/len records: kind(2) | clen(4) | lxb(3) | arg(8).
-    kind 0 = literal (arg = byte), 1 = match (arg = len_base - 3),
+def _lit_lut_block(lit_lens, nbits=LUT_BITS):
+    """(2^nbits,) packed lit/len records: kind(2) | clen(4) | lxb(3) |
+    arg(8). kind 0 = literal (arg = byte), 1 = match (arg = len_base - 3),
     2 = EOB, 3 = invalid."""
-    sym, clen, ok = _lut_decode_all(lit_lens, 286)
+    sym, clen, ok = _lut_decode_all(lit_lens, 286, nbits)
     is_lit = ok & (sym < 256)
     is_eob = ok & (sym == 256)
     is_match = ok & (sym > 256)
@@ -96,10 +97,10 @@ def _lit_lut_block(lit_lens):
             | (jnp.clip(arg, 0, 255) << 9))
 
 
-def _dist_lut_block(dist_lens):
-    """(LUT,) packed dist records: valid(1) | dlen(4) | dxb(4) |
+def _dist_lut_block(dist_lens, nbits=LUT_BITS):
+    """(2^nbits,) packed dist records: valid(1) | dlen(4) | dxb(4) |
     dbase-1 (15)."""
-    sym, clen, ok = _lut_decode_all(dist_lens, 30)
+    sym, clen, ok = _lut_decode_all(dist_lens, 30, nbits)
     valid = ok & (sym < 30)
     s = jnp.clip(sym, 0, 29)
     return (valid.astype(jnp.int32) | (jnp.clip(clen, 1, 15) << 1)
