@@ -218,24 +218,31 @@ struct DeflateState {
     int bits;
 };
 
-struct LevelParams { int good, lazy_lim, nice, chain; };
+struct LevelParams { int good, lazy_lim, nice, chain, hash3; };
 static LevelParams level_params(int level) {
     switch (level) {
-        case 1: return {4, 0, 8, 4};
-        case 2: return {4, 0, 16, 8};
-        case 3: return {4, 0, 32, 32};
-        case 4: return {4, 4, 16, 16};
-        case 5: return {8, 16, 32, 32};
-        case 6: return {8, 16, 128, 128};
-        case 7: return {8, 32, 128, 256};
-        case 8: return {32, 128, 258, 512};
-        default: return {32, 258, 258, 1024};
+        case 1: return {4, 0, 8, 4, 0};
+        case 2: return {4, 0, 16, 8, 0};
+        case 3: return {4, 0, 32, 32, 0};
+        case 4: return {4, 4, 16, 16, 0};
+        case 5: return {8, 16, 32, 32, 0};
+        case 6: return {8, 16, 128, 128, 0};
+        case 7: return {8, 32, 128, 256, 1};
+        case 8: return {32, 128, 258, 1024, 1};
+        default: return {32, 258, 258, 4096, 1};
     }
 }
 
 static inline uint32_t hash4(const uint8_t* p, int hash_bits) {
     uint32_t v;
     memcpy(&v, p, 4);
+    return (v * HASH_MUL) >> (32 - hash_bits);
+}
+
+// 3-byte hash (zlib's granularity): finds length-3 matches and chains
+// every position sharing a trigram — better parse at levels >= 7.
+static inline uint32_t hash3(const uint8_t* p, int hash_bits) {
+    uint32_t v = (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16);
     return (v * HASH_MUL) >> (32 - hash_bits);
 }
 
@@ -313,7 +320,8 @@ size_t compu_deflate_run(void* p, const uint8_t* in, size_t n,
         while (i < block_limit || have_prev) {
             uint32_t best_len = 0, best_dist = 0;
             if (i + MIN_MATCH <= n && i + 4 <= n) {
-                uint32_t h = hash4(in + i, s->hash_bits);
+                uint32_t h = lp.hash3 ? hash3(in + i, s->hash_bits)
+                                      : hash4(in + i, s->hash_bits);
                 int32_t cand = s->head[h];
                 int chain = lp.chain;
                 // zlib's good_match heuristic: once the carried-over lazy
@@ -338,7 +346,9 @@ size_t compu_deflate_run(void* p, const uint8_t* in, size_t n,
                         best_dist = d;
                         if (l >= nice) break;
                     }
-                    cand = s->prev[cand & (WINDOW - 1)];
+                    int32_t nxt = s->prev[cand & (WINDOW - 1)];
+                    if (nxt >= cand) break;  // cycle/stale guard
+                    cand = nxt;
                 }
                 s->prev[i & (WINDOW - 1)] = s->head[h];
                 s->head[h] = (int32_t)i;
@@ -354,11 +364,17 @@ size_t compu_deflate_run(void* p, const uint8_t* in, size_t n,
                 }
                 // emit previous match
                 toks[tcount++] = {(uint16_t)prev_len, (uint16_t)prev_dist};
-                // insert hash entries for the match body (skipped above)
+                // insert hash entries for the match body. Position i was
+                // ALREADY inserted by its probe this iteration — starting
+                // at i would chain prev[i] to itself (head[h]==i), and any
+                // later walk reaching i would spin on the self-loop until
+                // its chain budget died (the bug that made levels 7-9 no
+                // better than 6: deep search burned on cycles).
                 size_t endp = i - 1 + prev_len;
                 if (endp > n - 4) endp = n >= 4 ? n - 4 : 0;
-                for (size_t k = i; k < endp; k++) {
-                    uint32_t h2 = hash4(in + k, s->hash_bits);
+                for (size_t k = i + 1; k < endp; k++) {
+                    uint32_t h2 = lp.hash3 ? hash3(in + k, s->hash_bits)
+                                           : hash4(in + k, s->hash_bits);
                     s->prev[k & (WINDOW - 1)] = s->head[h2];
                     s->head[h2] = (int32_t)k;
                 }
@@ -378,7 +394,8 @@ size_t compu_deflate_run(void* p, const uint8_t* in, size_t n,
                 size_t endp = i + best_len;
                 if (endp > n - 4) endp = n >= 4 ? n - 4 : 0;
                 for (size_t k = i + 1; k < endp; k++) {
-                    uint32_t h2 = hash4(in + k, s->hash_bits);
+                    uint32_t h2 = lp.hash3 ? hash3(in + k, s->hash_bits)
+                                           : hash4(in + k, s->hash_bits);
                     s->prev[k & (WINDOW - 1)] = s->head[h2];
                     s->head[h2] = (int32_t)k;
                 }
