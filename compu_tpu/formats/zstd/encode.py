@@ -548,7 +548,8 @@ def _resolve_offset_values(seqs, rep=None):
     return of_values, rep
 
 
-def _sequences_section(seqs, reuse: dict | None = None) -> bytes:
+def _sequences_section(seqs, reuse: dict | None = None,
+                       device: bool = False) -> bytes:
     n = len(seqs)
     out = bytearray()
     if n < 128:
@@ -581,6 +582,15 @@ def _sequences_section(seqs, reuse: dict | None = None) -> bytes:
     out.extend(ll_t.header)
     out.extend(of_t.header)
     out.extend(ml_t.header)
+
+    if device:
+        # Device twin of the push loop below: interleaved FSE state scan +
+        # bit pack on device, byte-identical (kernels/zstd_seq_jax.py).
+        blob = _sequences_bitstream_device(
+            seqs, ll_codes, ml_codes, of_codes, of_values, ll_t, ml_t, of_t)
+        if blob is not None:
+            out.extend(blob)
+            return bytes(out)
 
     # Bitstream: ForwardBitWriter; push order is the exact reverse of the
     # decoder's read order (see decode.py::_execute_sequences).
@@ -620,10 +630,33 @@ def _sequences_section(seqs, reuse: dict | None = None) -> bytes:
     return bytes(out)
 
 
+def _sequences_bitstream_device(seqs, ll_codes, ml_codes, of_codes,
+                                of_values, ll_t, ml_t, of_t):
+    """Prepare the per-sequence arrays and run the device FSE scan + pack.
+    Returns None (host fallback) when an offset's extra field exceeds the
+    pack's 4-byte lanes (window_log > ~24)."""
+    of_xb = [_offset_code(v) for v in of_values]
+    if of_xb and max(of_xb) > 24:
+        return None
+    ll_x = [ll - int(T.LL_BASE[c]) for (ll, _, _), c in zip(seqs, ll_codes)]
+    ll_xbits = [int(T.LL_BITS[c]) for c in ll_codes]
+    ml_x = [ml - int(T.ML_BASE[c]) for (_, _, ml), c in zip(seqs, ml_codes)]
+    ml_xbits = [int(T.ML_BITS[c]) for c in ml_codes]
+    of_x = [v - (1 << oc) for v, oc in zip(of_values, of_xb)]
+    try:
+        from ...kernels.zstd_seq_jax import encode_sequences_device
+    except Exception:  # pragma: no cover - jax unavailable
+        return None
+    return encode_sequences_device(
+        ll_codes, ml_codes, of_codes, ll_x, ml_x, of_x,
+        ll_xbits, ml_xbits, of_xb, ll_t.enc, ml_t.enc, of_t.enc)
+
+
 def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
                    tokenizer=None, history: bytes = b"",
                    reuse: dict | None = None, matches=None,
-                   device_literals: bool = False) -> bytes:
+                   device_literals: bool = False,
+                   device_sequences: bool = False) -> bytes:
     """One zstd block body (compressed type), or raw/RLE when better.
     Returns the full block including its 3-byte header. ``history`` is the
     window tail of previous blocks: matches may reference it (the decoder's
@@ -663,7 +696,8 @@ def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
                                     local.get("rep") if local else None)
     try:
         body = (_literals_section(lits, local, device=device_literals)
-                + _sequences_section(seqs, local))
+                + _sequences_section(seqs, local,
+                                     device=device_sequences))
     except CodecFailure:
         body = None
     if body is None or len(body) >= n:
@@ -689,8 +723,10 @@ class ZstdStreamEncoder:
 
     def __init__(self, level: int = 3, checksum: bool = True,
                  window_log: int = 17, device_lz: bool = False,
-                 strategy=None, device_literals: bool = False) -> None:
+                 strategy=None, device_literals: bool = False,
+                 device_sequences: bool = False) -> None:
         self.device_literals = device_literals
+        self.device_sequences = device_sequences
         self.level = level
         # Effective parse level: strategy overrides; level 0 is the default
         # ladder rung (3); negative levels all take the fastest greedy rung.
@@ -764,6 +800,7 @@ class ZstdStreamEncoder:
                     max_dist=min((1 << self.window_log) - 1, len(hist) + len(sub)),
                     history=hist, reuse=self._reuse, matches=gmatches,
                     device_literals=self.device_literals,
+                    device_sequences=self.device_sequences,
                 )
                 self._window = (self._window + sub)[
                     -min((1 << self.window_log) - 1, MAX_BLOCK):]
@@ -788,6 +825,7 @@ class ZstdStreamEncoder:
             history=history,
             reuse=self._reuse,
             device_literals=self.device_literals,
+            device_sequences=self.device_sequences,
         )
         self._window = (self._window + data)[-window_cap:]
         if final:

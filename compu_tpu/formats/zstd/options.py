@@ -56,6 +56,10 @@ class ZstdOptions:
     #: Encode the 4-stream Huffman literals section on the device
     #: (byte-identical output; kernels/zstd_literals_jax.py).
     device_literals: bool = False
+    #: Encode the FSE sequence bitstream on the device (byte-identical
+    #: output; kernels/zstd_seq_jax.py) — with device_lz and
+    #: device_literals this completes the device zstd block-entropy path.
+    device_sequences: bool = False
 
     def __post_init__(self) -> None:
         if not -131072 <= self.level <= 22:  # ZSTD_minCLevel()..ZSTD_maxCLevel()

@@ -27,6 +27,7 @@ class ZstdEncoder(EncoderBackend):
             device_lz=getattr(self.options, "device_lz", False),
             strategy=self.options.strategy,
             device_literals=getattr(self.options, "device_literals", False),
+            device_sequences=getattr(self.options, "device_sequences", False),
         )
 
     def _header(self) -> bytes:

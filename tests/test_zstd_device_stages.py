@@ -53,3 +53,28 @@ def test_stream_kernel_matches_backward_writer_exactly():
     host = [enc.encode_stream(c) for c in chunks]
     dev = encode_streams_device(chunks, enc.code, enc.nbits)
     assert dev == host
+
+
+def test_device_sequences_byte_identical_and_foreign_valid():
+    """The device FSE sequence bitstream (kernels/zstd_seq_jax.py) must be
+    byte-identical to the host ForwardBitWriter push loop, and the full
+    device entropy path (LZ + literals + sequences) foreign-decodable."""
+    host = _encode(ZstdOptions(level=6), DATA)
+    dev = _encode(ZstdOptions(level=6, device_sequences=True), DATA)
+    assert dev == host
+    allon = _encode(
+        ZstdOptions(level=6, device_literals=True, device_sequences=True),
+        DATA,
+    )
+    assert allon == host
+    got = zstandard.ZstdDecompressor().decompress(
+        allon, max_output_size=len(DATA) + 64
+    )
+    assert got == DATA
+
+
+def test_device_sequences_levels_and_small():
+    for level, blob in ((3, DATA[:9000]), (9, DATA[:40000])):
+        host = _encode(ZstdOptions(level=level), blob)
+        dev = _encode(ZstdOptions(level=level, device_sequences=True), blob)
+        assert dev == host
