@@ -25,11 +25,20 @@ Measured paths:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import zlib
 
 import numpy as np
+
+# The axon remote-compile service wedges under killed clients (PLAN.md
+# round-3 environment facts); terminal-side compilation plus the
+# persistent cache are reliable and make reruns cheap.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "0")
 
 BLOCK = 1 << 18  # 256 KiB device blocks
 TARGET_GBPS = 1.0
