@@ -145,7 +145,13 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
     fixed-Huffman-only variant; ``'v1'`` keeps the chain-walk kernel
     (closer to the host ladder, much slower on TPU)."""
     depth, nice, lazy = _LEVEL[max(1, min(9, level))]
-    wcap = 16 if level <= 4 else 32  # narrow match window on fast levels
+    # Match-measurement window per candidate: wcap=16 through level 6 —
+    # the on-chip sweep (PLAN.md round-3 deltas) shows wcap=16/depth=8 at
+    # 27.8 ms per 16x256 KiB batch vs 42.4 ms for wcap=32 at the SAME
+    # corpus ratio (2.661): the extra 16 measured bytes almost never win a
+    # longer match on mixed data, but cost 2 sort payload operands and 4
+    # XOR/ctz units per candidate. wcap=32 is kept for the thorough levels.
+    wcap = 16 if level <= 6 else 32
 
     check = "crc" if mode is ZlibMode.Gzip else "adler"
 
