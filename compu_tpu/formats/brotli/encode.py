@@ -263,7 +263,7 @@ def _command_symbol(insert_len: int, copy_len: int, implicit: bool = False):
     return cmd, ic, cc
 
 
-def _plan_distances(commands, ic_arr, cc_arr):
+def _plan_distances(commands, ic_arr, cc_arr, ring):
     """Choose each copy's distance coding with the 4-slot ring tracked
     exactly as the decoder resolves it (decode.py::_resolve_distance):
 
@@ -273,8 +273,16 @@ def _plan_distances(commands, ic_arr, cc_arr):
 
     Ring updates mirror the decoder: explicit and short codes 1-15 push the
     distance; code 0 and implicit copies do not. ``ic_arr``/``cc_arr`` are
-    the precomputed per-command insert/copy length codes."""
-    ring = list(C.INITIAL_DISTANCES)
+    the precomputed per-command insert/copy length codes.
+
+    ``ring`` is the incoming 4-slot state and the FINAL state is returned
+    with the plan: the decoder's ring persists across meta-blocks
+    (decode.py carries it through the whole stream), so the encoder must
+    thread it through chunks too — a per-meta-block reset desynchronizes
+    every ring-coded distance in chunk 2+ until four explicit distances
+    refill the ring (found as corpus-dependent corruption on multi-chunk
+    streams)."""
+    ring = list(ring)
     plan = []
     for (_, ins, cl, d), ic, cc in zip(commands, ic_arr, cc_arr):
         if d is None:
@@ -305,7 +313,7 @@ def _plan_distances(commands, ic_arr, cc_arr):
             dsym, extra, nbits = _distance_symbol(d)
             plan.append((dsym, extra, nbits))
             ring = [d] + ring[:3]
-    return plan
+    return plan, ring
 
 
 def _distance_symbol(distance: int):
@@ -463,12 +471,14 @@ class BrotliStreamEncoder:
             )
         self.sink = BitSink()
         self.header_done = False
-        self._tail = b""  
+        self._tail = b""
+        self._ring = list(C.INITIAL_DISTANCES)
 
     def reset(self) -> None:
         self.sink = BitSink()
         self.header_done = False
-        self._tail = b""  
+        self._tail = b""
+        self._ring = list(C.INITIAL_DISTANCES)
 
     def _write_stream_header(self) -> None:
         w = self.window_bits
@@ -572,7 +582,8 @@ class BrotliStreamEncoder:
             [c[2] if c[3] is not None else 2 for c in commands], dtype=np.int64)
         ic_arr = _length_codes_vec(C.INSERT_BASE, C.INSERT_EXTRA, ins_arr)
         cc_arr = _length_codes_vec(C.COPY_BASE, C.COPY_EXTRA, cl_arr)
-        dist_plan = _plan_distances(commands, ic_arr, cc_arr)
+        dist_plan, self._ring = _plan_distances(
+            commands, ic_arr, cc_arr, self._ring)
         imp_arr = np.asarray(
             [p is not None and p[0] == "imp" for p in dist_plan], dtype=bool)
         pair_idx = _RANGE_LUT[ic_arr >> 3, cc_arr >> 3]

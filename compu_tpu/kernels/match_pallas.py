@@ -10,9 +10,17 @@ row]), and the whole depth x words XOR/ctz reduction runs on VMEM tiles.
 HBM traffic drops to one read of the input arrays plus one write of the
 two outputs.
 
-The wide-slice form replaces the earlier roll/roll/select shift (two
-pltpu.rolls + an iota compare per (depth, word) unit) with one static
-slice per unit — measured ~25% off the kernel on TPU v5e.
+Two measured revisions (TPU v5e, chained timing):
+
+* wide-slice shifts: one static lane slice per (depth, word) unit instead
+  of two pltpu.rolls + an iota select — ~25% off the kernel.
+* r3: VMEM BlockSpecs + a scratch-carried halo row instead of manual
+  make_async_copy/wait per grid step. The manual form serialized every
+  chunk's 6 DMAs with its compute (no overlap); BlockSpec pipelining
+  double-buffers the transfers behind the compute automatically. The
+  128-element halo that motivated the manual copies is carried in a tiny
+  (nin, 1, 128) VMEM scratch instead — TPU grids run sequentially, so
+  chunk i reads the last row chunk i-1 wrote there.
 
 Inputs are the SORT-ORDER arrays (hash, position, wcap/4 window words);
 outputs are best match length/distance per sorted lane, identical to the
@@ -42,29 +50,30 @@ def _ctz_bytes(x):
 def _match_kernel(*refs, depth: int, words: int, max_dist: int,
                   block_elems: int):
     nin = 2 + words
-    hbm = refs[:nin]
+    ins = refs[:nin]                       # VMEM (ROWS, 128) blocks
     bl_ref, bd_ref = refs[nin], refs[nin + 1]
-    sbuf, sems = refs[nin + 2], refs[nin + 3]
+    carry = refs[nin + 2]                  # VMEM (nin, 1, 128) halo rows
     i = pl.program_id(0)
-    row0 = i * ROWS
 
-    for j in range(nin):
-        pltpu.make_async_copy(
-            hbm[j].at[pl.ds(row0, ROWS + 1), :], sbuf.at[j], sems.at[j]
-        ).start()
-    for j in range(nin):
-        pltpu.make_async_copy(
-            hbm[j].at[pl.ds(row0, ROWS + 1), :], sbuf.at[j], sems.at[j]
-        ).wait()
+    @pl.when(i == 0)
+    def _init():
+        carry[...] = jnp.zeros((nin, 1, 128), jnp.uint32)
 
-    # sbuf[j, 0] = the 128 elements BEFORE the chunk; sbuf[j, 1:] = chunk.
     # wide[j][r] = [row r-1 | row r] (ROWS, 256): the value at flat chunk
     # position p - d is wide[j][p >> 7, 128 + (p & 127) - d], so a shift by
-    # the Python-constant d is ONE static lane slice.
-    wide = [jnp.concatenate([sbuf[j, :-1, :], sbuf[j, 1:, :]], axis=1)
-            for j in range(nin)]
-    hs = sbuf[0, 1:, :]
-    ps = sbuf[1, 1:, :].astype(jnp.int32)
+    # the Python-constant d is ONE static lane slice. Row -1 of this chunk
+    # is the previous chunk's last row, carried in scratch (zeros for the
+    # first chunk).
+    vals = [ins[j][:, :] for j in range(nin)]
+    wide = []
+    for j in range(nin):
+        prev_rows = jnp.concatenate([carry[j], vals[j][:-1, :]], axis=0)
+        wide.append(jnp.concatenate([prev_rows, vals[j]], axis=1))
+    for j in range(nin):
+        carry[j] = vals[j][ROWS - 1:ROWS, :]
+
+    hs = vals[0]
+    ps = vals[1].astype(jnp.int32)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
     gpos = i * C + row_i * 128 + lane_i
@@ -80,9 +89,9 @@ def _match_kernel(*refs, depth: int, words: int, max_dist: int,
         same = (hs == wide[0][:, sl]) & (lpos >= d)
         dist = ps - wide[1][:, sl].astype(jnp.int32)
         ok = same & (dist > 0) & (dist <= max_dist)
-        l = _ctz_bytes(sbuf[2, 1:, :] ^ wide[2][:, sl])
+        l = _ctz_bytes(vals[2] ^ wide[2][:, sl])
         for k in range(1, words):
-            lk = _ctz_bytes(sbuf[2 + k, 1:, :] ^ wide[2 + k][:, sl])
+            lk = _ctz_bytes(vals[2 + k] ^ wide[2 + k][:, sl])
             l = l + jnp.where(l == 4 * k, lk, 0)
         l = jnp.where(ok, l, 0)
         better = l > best_len
@@ -93,9 +102,9 @@ def _match_kernel(*refs, depth: int, words: int, max_dist: int,
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "max_dist",
-                                              "block_elems"))
+                                              "block_elems", "interpret"))
 def match_candidates_pallas(hs, ps, sw, *, depth: int, max_dist: int,
-                            block_elems: int):
+                            block_elems: int, interpret: bool = False):
     """Best (length, distance) per sorted lane from the sorted hash /
     position / window-word arrays. Semantically identical to the XLA
     candidate loop; `sw` is a tuple of wcap//4 uint32 arrays."""
@@ -103,18 +112,19 @@ def match_candidates_pallas(hs, ps, sw, *, depth: int, max_dist: int,
     assert N % C == 0, "block sizes are powers of two >= 8192"
     assert block_elems % C == 0 and block_elems & (block_elems - 1) == 0
     words = len(sw)
-    pad = jnp.zeros((1, 128), jnp.uint32)
 
     def prep(x):
-        return jnp.concatenate([pad, x.astype(jnp.uint32).reshape(-1, 128)])
+        return x.astype(jnp.uint32).reshape(-1, 128)
 
     ins = [prep(hs), prep(ps)] + [prep(w) for w in sw]
     grid = (N // C,)
+    in_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
     bl, bd = pl.pallas_call(
         functools.partial(_match_kernel, depth=depth, words=words,
                           max_dist=max_dist, block_elems=block_elems),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(ins),
+        in_specs=[in_spec] * len(ins),
         out_specs=[
             pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -126,8 +136,8 @@ def match_candidates_pallas(hs, ps, sw, *, depth: int, max_dist: int,
             jax.ShapeDtypeStruct((N // 128, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((len(ins), ROWS + 1, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA((len(ins),)),
+            pltpu.VMEM((len(ins), 1, 128), jnp.uint32),
         ],
+        interpret=interpret,
     )(*ins)
     return bl.reshape(N), bd.reshape(N)

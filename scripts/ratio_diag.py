@@ -1,9 +1,15 @@
-"""Per-block device-vs-gzip ratio diagnostic on the bench corpus."""
+"""Per-block device-vs-gzip ratio diagnostic on the bench corpus.
+
+Runs on CPU: ratio is device-independent and the axon sitecustomize
+overrides JAX_PLATFORMS, so the platform is forced via jax.config
+(PLAN.md round-3 environment facts)."""
 import sys
 import zlib
 
 import numpy as np
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")

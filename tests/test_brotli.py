@@ -85,6 +85,22 @@ def test_multi_metablock():
     assert decode_all(dec, blob) == data
 
 
+def test_multi_metablock_distance_ring_carry():
+    """The decoder's 4-slot distance ring persists across meta-blocks;
+    the encoder must thread it through chunks too. A text chunk followed
+    by a run chunk whose first copy is ring-relative desynchronizes a
+    per-meta-block-reset ring (regression: encoder planned short distance
+    codes against a fresh INITIAL_DISTANCES ring in chunk 2+, producing
+    streams libbrotli rejects or mis-decodes)."""
+    data = (ALICE * 40)[: 1 << 20] + b"A" * 1024
+    for q in (1, 5, 9):
+        enc = encoder.Interface.brotli(BrotliOptions(quality=q))
+        blob = encode_all(enc, data)
+        assert brotli_oracle.decompress(blob, len(data) + 64) == data
+        dec = decoder.Interface.brotli()
+        assert decode_all(dec, blob) == data
+
+
 def test_incompressible_and_runs():
     rng = np.random.default_rng(7)
     dec = decoder.Interface.brotli()
