@@ -98,7 +98,7 @@ def kernel_only_gbps(corpus: bytes, batch: int = 16, chain: int = 6) -> float:
                 # serialize: next batch depends on previous metadata
                 b = dev ^ (metas[0, 1] & 1).astype(jnp.uint8)
             _, metas, _ = _encode_blocks_batched(
-                b, lens, depth=8, cap=cap, with_index=True, check="crc",
+                b, lens, depth=32, cap=cap, with_index=True, check="crc",
                 kernel="v3", wcap=16,
             )
         return np.asarray(metas)  # one value fetch

@@ -32,15 +32,12 @@ class DeviceTokenizer:
         n = len(data)
         padded = np.zeros(self.block_size, dtype=np.uint8)
         padded[:n] = np.frombuffer(data, dtype=np.uint8)
-        is_tok, lens, dists = device_tokens(
+        packed = np.asarray(device_tokens(
             jnp.asarray(padded), jnp.int32(n),
             depth=self.depth, max_dist=self.max_dist,
-        )
-        is_tok = np.asarray(is_tok)[:n]
-        lens = np.asarray(lens)[:n]
-        dists = np.asarray(dists)[:n]
-        tok_pos = np.nonzero(is_tok)[0].astype(np.int64)
-        take = lens[tok_pos] >= 3
-        tok_len = np.where(take, lens[tok_pos], 0).astype(np.int64)
-        tok_dist = np.where(take, dists[tok_pos], 0).astype(np.int64)
+        ))[:n]
+        tok_pos = np.nonzero(packed & 1)[0].astype(np.int64)
+        v = packed[tok_pos].astype(np.int64)
+        tok_len = (v >> 1) & 0x1FF
+        tok_dist = (v >> 10) & 0x3FFFF
         return tok_pos, tok_len, tok_dist

@@ -145,13 +145,21 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
     fixed-Huffman-only variant; ``'v1'`` keeps the chain-walk kernel
     (closer to the host ladder, much slower on TPU)."""
     depth, nice, lazy = _LEVEL[max(1, min(9, level))]
-    # Match-measurement window per candidate: wcap=16 through level 6 —
-    # the on-chip sweep (PLAN.md round-3 deltas) shows wcap=16/depth=8 at
-    # 27.8 ms per 16x256 KiB batch vs 42.4 ms for wcap=32 at the SAME
-    # corpus ratio (2.661): the extra 16 measured bytes almost never win a
-    # longer match on mixed data, but cost 2 sort payload operands and 4
-    # XOR/ctz units per candidate. wcap=32 is kept for the thorough levels.
-    wcap = 16 if level <= 6 else 32
+    # Device (wcap, depth) ladder, re-measured after the matcher moved to
+    # pipelined VMEM blocks (PLAN.md round-3 deltas): candidate DEPTH is
+    # now nearly free on chip (the kernel is bound by the sort + fixed
+    # stages, not the per-depth XOR/ctz units — wcap=16 depth=8 and
+    # depth=32 both run ~30 ms per 16x256 KiB batch, ratio 3.862 vs 3.942
+    # on the 4 MB bench slice), while WCAP still costs sort payload
+    # operands (wcap=8 saves ~6.5 ms at ~0.15x ratio). So: fast levels
+    # drop to wcap=8, level >= 5 rides wcap=16 with depth scaled up, and
+    # the wcap=32 thorough tier is retired (16 measured bytes + chain
+    # extension recover longer matches at far lower sort cost).
+    dev_wcap = {1: 8, 2: 8, 3: 8, 4: 16, 5: 16, 6: 16, 7: 16, 8: 16, 9: 16}
+    dev_depth = {1: 4, 2: 8, 3: 12, 4: 12, 5: 16, 6: 32, 7: 48, 8: 64, 9: 64}
+    lvl = max(1, min(9, level))
+    wcap = dev_wcap[lvl]
+    vdepth = dev_depth[lvl]
 
     check = "crc" if mode is ZlibMode.Gzip else "adler"
 
@@ -161,7 +169,7 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
         cap = block.shape[0] + block.shape[0] // 4 + 64
         if kernel == "v3":
             return encode_block_dyn(
-                block, n, depth=min(depth, 8), cap=cap,
+                block, n, depth=vdepth, cap=cap,
                 with_index=segment_index, check=check, wcap=wcap,
             )
         if kernel == "v2":
@@ -191,7 +199,8 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
                 for g in range(G):
                     part = _encode_blocks_batched(
                         dev, lens_j[g * gb : (g + 1) * gb],
-                        depth=min(depth, 8), cap=cap,
+                        depth=vdepth if kernel == "v3" else min(depth, 8),
+                        cap=cap,
                         with_index=segment_index, check=check, kernel=kernel,
                         wcap=wcap,
                     )
@@ -209,7 +218,8 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
                 blocks_dev = jax.device_put(blocks)  # one bulk upload
                 packed, meta_stack, seg_stack = _encode_blocks_batched(
                     blocks_dev, jnp.asarray(lens, jnp.int32),
-                    depth=min(depth, 8), cap=cap, with_index=segment_index,
+                    depth=vdepth if kernel == "v3" else min(depth, 8),
+                    cap=cap, with_index=segment_index,
                     check=check, kernel=kernel, wcap=wcap,
                 )
                 group_caps = None

@@ -532,9 +532,23 @@ def device_tokens(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     pipelines (device match+parse, host entropy coding). The cover is
     segment-merged (matches cross SEG boundaries up to 258 bytes wherever
     the matcher found the continuation) — the consumers impose no segment
-    structure of their own."""
-    return match_and_parse(data, n, depth=depth, max_dist=max_dist,
-                           clip_seg=False)
+    structure of their own.
+
+    Returns ONE packed i32[N] array — bit 0: is_tok, bits 1..9: match
+    length (0 for literal tokens, else 3..258), bits 10..27: distance
+    (18 bits: zstd windows reach 2^17 - 1 here, beyond DEFLATE's 2^15).
+    The device link is a high-RTT ~10-40 MB/s tunnel here, so the
+    (is_tok, len, dist) triple is packed on device: one D2H transfer at
+    1/3 the bytes of the three-array form (DeviceTokenizer unpacks)."""
+    is_tok, best_len, best_dist = match_and_parse(
+        data, n, depth=depth, max_dist=max_dist, clip_seg=False)
+    take = best_len >= consts.MIN_MATCH
+    mlen = jnp.where(take, best_len, 0)
+    return jnp.where(
+        is_tok,
+        1 | (mlen << 1) | jnp.where(take, best_dist, 0) << 10,
+        0,
+    ).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "cap",
