@@ -39,5 +39,5 @@ class DeviceTokenizer:
         tok_pos = np.nonzero(packed & 1)[0].astype(np.int64)
         v = packed[tok_pos].astype(np.int64)
         tok_len = (v >> 1) & 0x1FF
-        tok_dist = (v >> 10) & 0x3FFFF
+        tok_dist = (v >> 10) & 0x1FFFFF
         return tok_pos, tok_len, tok_dist

@@ -535,11 +535,13 @@ def device_tokens(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     structure of their own.
 
     Returns ONE packed i32[N] array — bit 0: is_tok, bits 1..9: match
-    length (0 for literal tokens, else 3..258), bits 10..27: distance
-    (18 bits: zstd windows reach 2^17 - 1 here, beyond DEFLATE's 2^15).
-    The device link is a high-RTT ~10-40 MB/s tunnel here, so the
-    (is_tok, len, dist) triple is packed on device: one D2H transfer at
-    1/3 the bytes of the three-array form (DeviceTokenizer unpacks)."""
+    length (0 for literal tokens, else 3..258), bits 10..30: distance
+    (21 bits: brotli's hybrid tokenizer passes max_dist up to 2^20 —
+    an 18-bit field truncated those and corrupted brotli streams on the
+    real device; 1+9+21 = 31 bits still fits i32). The device link is a
+    high-RTT ~10-40 MB/s tunnel here, so the (is_tok, len, dist) triple
+    is packed on device: one D2H transfer at 1/3 the bytes of the
+    three-array form (DeviceTokenizer unpacks)."""
     is_tok, best_len, best_dist = match_and_parse(
         data, n, depth=depth, max_dist=max_dist, clip_seg=False)
     take = best_len >= consts.MIN_MATCH
