@@ -161,7 +161,27 @@ class Interface:
         return Decoder(pipeline.ZstdDecoder(options))
 
     @staticmethod
+    def zstd_native(options=None) -> Decoder:
+        """Same format, native C++ frame decoder — the libzstd-speed host
+        path behind the same Interface (reference: Interface::zstd reaching
+        ZSTD_decompressStream, src/decoder/zstd.rs:81-136). Raises if the
+        native runtime is unavailable."""
+        from .formats.zstd import pipeline
+
+        return Decoder(pipeline.NativeZstdDecoder(options))
+
+    @staticmethod
     def brotli(options=None) -> Decoder:
         from .formats.brotli import pipeline
 
         return Decoder(pipeline.BrotliDecoder(options))
+
+    @staticmethod
+    def brotli_native(options=None) -> Decoder:
+        """Same format, native C++ meta-block decoder — the second brotli
+        implementation behind one Interface (reference pattern: brotli-C vs
+        rust-brotli, src/decoder/brotli_c.rs:22-28 vs brotli.rs:20-26).
+        Raises if the native runtime is unavailable."""
+        from .formats.brotli import pipeline
+
+        return Decoder(pipeline.NativeBrotliDecoder(options))

@@ -73,3 +73,28 @@ class ZstdDecoder(DecoderBackend):
     def _do_reset(self) -> None:
         self._frame = ZstdFrameDecoder(window_log_max=self.options.window_log_max)
         self._frame.sink_budget = self.pending_high_water
+
+
+class NativeZstdDecoder(ZstdDecoder):
+    """Same format, native (C++) frame decoder — the framework's libzstd
+    analogue: a second implementation of zstd decode behind the same
+    Interface (reference pattern: src/decoder/zstd.rs reaching libzstd's
+    ZSTD_decompressStream). The whole state machine (entropy tables,
+    sequences, window, xxh64) runs in csrc/compu_zstd.cpp."""
+
+    name = "zstd-native"
+
+    def __init__(self, options: ZstdDecodeOptions | None = None) -> None:
+        from .native_decode import NativeZstdFrame
+
+        self.options = options or ZstdDecodeOptions()
+        DecoderBackend.__init__(self)
+        self._frame = NativeZstdFrame(window_log_max=self.options.window_log_max)
+        self._frame.sink_budget = self.pending_high_water
+
+    def _rebase_input(self, nbytes: int) -> None:
+        self._frame.pos -= nbytes
+
+    def _do_reset(self) -> None:
+        self._frame._reset_stream()
+        self._frame.sink_budget = self.pending_high_water

@@ -542,6 +542,9 @@ def device_tokens(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     high-RTT ~10-40 MB/s tunnel here, so the (is_tok, len, dist) triple
     is packed on device: one D2H transfer at 1/3 the bytes of the
     three-array form (DeviceTokenizer unpacks)."""
+    # Static arg, so the guard is free: distances are packed into a 21-bit
+    # field below — a wider window would truncate silently (ADVICE r3).
+    assert max_dist < (1 << 21), f"max_dist {max_dist} overflows 21-bit field"
     is_tok, best_len, best_dist = match_and_parse(
         data, n, depth=depth, max_dist=max_dist, clip_seg=False)
     take = best_len >= consts.MIN_MATCH

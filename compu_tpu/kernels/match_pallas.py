@@ -111,6 +111,10 @@ def match_candidates_pallas(hs, ps, sw, *, depth: int, max_dist: int,
     N = hs.shape[0]
     assert N % C == 0, "block sizes are powers of two >= 8192"
     assert block_elems % C == 0 and block_elems & (block_elems - 1) == 0
+    # The kernel's static window slices cover shifts of at most HALO lanes;
+    # a larger depth would wrap slice(128-d, 256-d) negative and silently
+    # read the wrong lanes (ADVICE r3).
+    assert depth <= HALO, f"depth {depth} exceeds the {HALO}-lane halo"
     words = len(sw)
 
     def prep(x):

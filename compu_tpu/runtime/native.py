@@ -17,7 +17,8 @@ import threading
 _CSRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc"
 _SRC = _CSRC / "compu_runtime.cpp"
 _SRCS = [_SRC, _CSRC / "compu_inflate.cpp", _CSRC / "compu_deflate.cpp",
-         _CSRC / "compu_parse.cpp"]
+         _CSRC / "compu_parse.cpp", _CSRC / "compu_zstd.cpp",
+         _CSRC / "compu_brotli.cpp"]
 _SO = _SRC.with_name("libcompu_runtime.so")
 _lock = threading.Lock()
 _lib = None
@@ -81,6 +82,33 @@ def _load():
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                     ctypes.c_void_p, ctypes.c_int32,
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ]
+            if hasattr(lib, "compu_zstd_new"):
+                lib.compu_zstd_new.restype = ctypes.c_void_p
+                lib.compu_zstd_new.argtypes = [ctypes.c_int]
+                lib.compu_zstd_free.argtypes = [ctypes.c_void_p]
+                lib.compu_zstd_reset.argtypes = [ctypes.c_void_p]
+                lib.compu_zstd_run.restype = ctypes.c_int
+                lib.compu_zstd_run.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_size_t,
+                    ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.POINTER(ctypes.c_size_t),
+                    ctypes.POINTER(ctypes.c_size_t),
+                ]
+            if hasattr(lib, "compu_brotli_new"):
+                lib.compu_brotli_new.restype = ctypes.c_void_p
+                lib.compu_brotli_free.argtypes = [ctypes.c_void_p]
+                lib.compu_brotli_reset.argtypes = [ctypes.c_void_p]
+                lib.compu_brotli_set_dictionary.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+                lib.compu_brotli_run.restype = ctypes.c_int
+                lib.compu_brotli_run.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_size_t, ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.POINTER(ctypes.c_size_t),
+                    ctypes.POINTER(ctypes.c_size_t),
                 ]
             if hasattr(lib, "compu_inflate_new"):
                 lib.compu_inflate_new.restype = ctypes.c_void_p
