@@ -72,3 +72,26 @@ class BrotliDecoder(DecoderBackend):
     def _do_reset(self) -> None:
         self._state = BrotliDecoderState()
         self._state.sink_budget = self.pending_high_water
+
+
+class NativeBrotliDecoder(BrotliDecoder):
+    """Same format, native (C++) meta-block decoder — the framework's
+    second brotli implementation behind the same Interface (reference
+    pattern: the interchangeable brotli-C / rust-brotli backends,
+    src/decoder/brotli_c.rs:22-28 vs brotli.rs:20-26). The whole state
+    machine (prefix codes, context maps, block switching, dictionary
+    transforms) runs in csrc/compu_brotli.cpp."""
+
+    name = "brotli-native"
+
+    def __init__(self, options=None) -> None:
+        from .native_decode import NativeBrotliState
+
+        del options
+        DecoderBackend.__init__(self)
+        self._state = NativeBrotliState()
+        self._state.sink_budget = self.pending_high_water
+
+    def _do_reset(self) -> None:
+        self._state._reset_stream()
+        self._state.sink_budget = self.pending_high_water

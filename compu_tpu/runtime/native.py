@@ -100,8 +100,10 @@ def _load():
                 lib.compu_brotli_new.restype = ctypes.c_void_p
                 lib.compu_brotli_free.argtypes = [ctypes.c_void_p]
                 lib.compu_brotli_reset.argtypes = [ctypes.c_void_p]
-                lib.compu_brotli_set_dictionary.argtypes = [
-                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+                lib.compu_brotli_set_tables.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t,
+                    ctypes.c_char_p, ctypes.c_size_t,
+                    ctypes.c_char_p, ctypes.c_size_t]
                 lib.compu_brotli_run.restype = ctypes.c_int
                 lib.compu_brotli_run.argtypes = [
                     ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
