@@ -541,51 +541,73 @@ class BrotliStreamEncoder:
                 patience=patience, hash6_depth=h6,
             )
 
-        # Build command list: (insert literals, copy_len, distance|None).
-        # Adjacent same-distance matches merge into one long copy (brotli
-        # copy lengths far exceed the matcher's 258 cap) — bounded by the
-        # largest copy code (base 2118 + 24 extra bits).
-        max_copy = C.COPY_BASE[-1] + (1 << C.COPY_EXTRA[-1]) - 1
-        commands = []
-        lit_bytes = bytearray()
-        pending_start = 0
-        pending = 0
-        for p, l, d in zip(tok_pos, tok_len, tok_dist):
-            if l == 0:
-                if pending == 0:
-                    pending_start = p
-                pending += 1
-            else:
-                if (
-                    commands
-                    and pending == 0
-                    and commands[-1][3] == int(d)
-                    and commands[-1][2] + int(l) <= max_copy
-                ):
-                    prev = commands[-1]
-                    commands[-1] = (prev[0], prev[1], prev[2] + int(l), prev[3])
-                else:
-                    commands.append((pending_start, pending, int(l), int(d)))
-                    lit_bytes.extend(data[pending_start : pending_start + pending])
-                    pending = 0
-                pending_start = p + l
-        if pending:
-            commands.append((pending_start, pending, 0, None))
-            lit_bytes.extend(data[pending_start : pending_start + pending])
+        # Build command list as parallel (start, ins, cl, dist) arrays
+        # (dist -1 = trailing literal-only command). Adjacent same-distance
+        # matches merge into one long copy (brotli copy lengths far exceed
+        # the matcher's 258 cap) — bounded by the largest copy code
+        # (base 2118 + 24 extra bits). Native loop when available; the
+        # Python loop below stays the reference implementation.
+        from . import native_enc as BN
 
-        # Distance coding plan (ring short codes / implicit), then histograms.
-        # Insert/copy length codes and command symbols are vectorized over
-        # the whole command list (a per-command searchsorted was ~40% of
-        # q11's meta-block time).
-        ins_arr = np.asarray([c[1] for c in commands], dtype=np.int64)
-        cl_arr = np.asarray(
-            [c[2] if c[3] is not None else 2 for c in commands], dtype=np.int64)
-        ic_arr = _length_codes_vec(C.INSERT_BASE, C.INSERT_EXTRA, ins_arr)
-        cc_arr = _length_codes_vec(C.COPY_BASE, C.COPY_EXTRA, cl_arr)
-        dist_plan, self._ring = _plan_distances(
-            commands, ic_arr, cc_arr, self._ring)
-        imp_arr = np.asarray(
-            [p is not None and p[0] == "imp" for p in dist_plan], dtype=bool)
+        max_copy = C.COPY_BASE[-1] + (1 << C.COPY_EXTRA[-1]) - 1
+        use_native = len(tok_pos) > 256 and BN.available()
+        cmds = BN.commands_from_tokens(
+            tok_pos, tok_len, tok_dist, max_copy) if use_native else None
+        if cmds is not None:
+            start_a, ins_a, cl_a, dist_a = cmds
+        else:
+            commands = []
+            pending_start = 0
+            pending = 0
+            for p, l, d in zip(tok_pos, tok_len, tok_dist):
+                if l == 0:
+                    if pending == 0:
+                        pending_start = p
+                    pending += 1
+                else:
+                    if (
+                        commands
+                        and pending == 0
+                        and commands[-1][3] == int(d)
+                        and commands[-1][2] + int(l) <= max_copy
+                    ):
+                        prev = commands[-1]
+                        commands[-1] = (prev[0], prev[1], prev[2] + int(l), prev[3])
+                    else:
+                        commands.append((pending_start, pending, int(l), int(d)))
+                        pending = 0
+                    pending_start = p + l
+            if pending:
+                commands.append((pending_start, pending, 0, -1))
+            ca = (np.asarray(commands, dtype=np.int64)
+                  if commands else np.zeros((0, 4), np.int64))
+            start_a, ins_a, cl_a, dist_a = ca[:, 0], ca[:, 1], ca[:, 2], ca[:, 3]
+
+        # Distance coding plan (ring short codes / implicit), then
+        # histograms. Insert/copy length codes and command symbols are
+        # vectorized over the whole command list.
+        cl_eff = np.where(dist_a >= 0, cl_a, 2)
+        ic_arr = _length_codes_vec(C.INSERT_BASE, C.INSERT_EXTRA, ins_a)
+        cc_arr = _length_codes_vec(C.COPY_BASE, C.COPY_EXTRA, cl_eff)
+        plan = BN.plan_distances(ic_arr, cc_arr, dist_a, self._ring) \
+            if use_native else None
+        if plan is not None:
+            dsym_a, dextra_a, dbits_a, self._ring = plan
+        else:
+            commands_t = [(int(s), int(i_), int(c), None if d < 0 else int(d))
+                          for s, i_, c, d in zip(start_a, ins_a, cl_a, dist_a)]
+            dist_plan, self._ring = _plan_distances(
+                commands_t, ic_arr, cc_arr, self._ring)
+            dsym_a = np.asarray(
+                [-2 if p is None else (-1 if p[0] == "imp" else p[0])
+                 for p in dist_plan], dtype=np.int64)
+            dextra_a = np.asarray(
+                [0 if p is None or p[0] == "imp" else p[1]
+                 for p in dist_plan], dtype=np.int64)
+            dbits_a = np.asarray(
+                [0 if p is None or p[0] == "imp" else p[2]
+                 for p in dist_plan], dtype=np.int64)
+        imp_arr = dsym_a == -1
         pair_idx = _RANGE_LUT[ic_arr >> 3, cc_arr >> 3]
         if np.any((pair_idx < 0) & ~imp_arr):
             raise CodecFailure(ERR_ENC, "unencodable insert/copy pair")
@@ -594,20 +616,23 @@ class BrotliStreamEncoder:
             imp_arr, ((cc_arr >> 3) << 6) | low6,
             ((pair_idx + 2) << 6) | low6,
         ).astype(np.int64)
-        dist_syms = [p[0] for p in dist_plan
-                     if p is not None and p[0] != "imp"]
+        dist_syms = dsym_a[dsym_a >= 0]
         cmd_freq = np.bincount(cmd_arr, minlength=C.NUM_COMMAND_SYMBOLS)
         dist_freq = np.bincount(
-            np.asarray(dist_syms if dist_syms else [0], dtype=np.int64), minlength=64
+            dist_syms if len(dist_syms) else np.zeros(1, np.int64), minlength=64
         )
 
         # --- literal context modeling (UTF8 mode, quality >= 5) ----------
         # Every literal's context id comes from the two preceding OUTPUT
         # bytes, which at encode time are just the preceding input bytes.
-        lit_positions = []
-        for start, ins, _, _ in commands:
-            lit_positions.extend(range(start, start + ins))
-        lit_pos_arr = np.asarray(lit_positions, dtype=np.int64)
+        # Positions = concat of [start, start+ins) ranges, vectorized.
+        tot_ins = int(ins_a.sum())
+        if tot_ins:
+            cum = np.concatenate([[0], np.cumsum(ins_a)[:-1]])
+            lit_pos_arr = (np.repeat(start_a, ins_a)
+                           + np.arange(tot_ins) - np.repeat(cum, ins_a))
+        else:
+            lit_pos_arr = np.zeros(0, np.int64)
         lit_vals = arr[lit_pos_arr] if len(lit_pos_arr) else np.zeros(0, np.int64)
         if self.mode_name == "Font":
             ctx_enabled = False
@@ -620,6 +645,7 @@ class BrotliStreamEncoder:
             tail=self._tail,
         )
         ntrees_l = len(lit_codes_list)
+        tail2 = (b"\x00\x00" + self._tail)[-2:]
         self._tail = data[-2:]
 
         cmd_code = PrefixWriter(cmd_freq, C.NUM_COMMAND_SYMBOLS)
@@ -652,11 +678,26 @@ class BrotliStreamEncoder:
         cmd_code.write_description(sink)
         dist_code.write_description(sink)
 
-        for ci, ((start, ins, cl, d), plan) in enumerate(zip(commands, dist_plan)):
+        # Body emission: native loop when available (byte-identical), else
+        # the per-symbol Python loop (reference implementation).
+        emitted = None
+        if use_native:
+            emitted = BN.emit_commands(
+                data, tail2, start_a, ins_a, cl_a, dist_a,
+                ic_arr, cc_arr, cmd_arr, dsym_a, dextra_a, dbits_a,
+                cmd_code, dist_code, lit_codes_list, cmap,
+                sink.acc, sink.nbits)
+        if emitted is not None:
+            blob, sink.acc, sink.nbits = emitted
+            sink.out.extend(blob)
+            return
+        for ci in range(len(start_a)):
+            start, ins = int(start_a[ci]), int(ins_a[ci])
+            cl, d = int(cl_a[ci]), int(dist_a[ci])
             cmd, ic, cc = int(cmd_arr[ci]), int(ic_arr[ci]), int(cc_arr[ci])
             cmd_code.push_symbol(sink, cmd)
             sink.push(ins - C.INSERT_BASE[ic], C.INSERT_EXTRA[ic])
-            sink.push((cl if d is not None else 2) - C.COPY_BASE[cc], C.COPY_EXTRA[cc])
+            sink.push((cl if d >= 0 else 2) - C.COPY_BASE[cc], C.COPY_EXTRA[cc])
             if ntrees_l > 1:
                 for k in range(start, start + ins):
                     tree = int(cmap[cid_of_pos(k)])
@@ -664,7 +705,6 @@ class BrotliStreamEncoder:
             else:
                 for b in data[start : start + ins]:
                     lit_codes_list[0].push_symbol(sink, b)
-            if d is not None and plan[0] != "imp":
-                dsym, extra, nbits = plan
-                dist_code.push_symbol(sink, dsym)
-                sink.push(extra, nbits)
+            if d >= 0 and int(dsym_a[ci]) != -1:
+                dist_code.push_symbol(sink, int(dsym_a[ci]))
+                sink.push(int(dextra_a[ci]), int(dbits_a[ci]))

@@ -95,6 +95,16 @@ def find_matches(data: np.ndarray, level: int, strategy: ZlibStrategy,
     if n < consts.MIN_MATCH + 1 or strategy is ZlibStrategy.HuffmanOnly:
         return lens, dists
 
+    if n > 4096 and strategy is not ZlibStrategy.Rle:
+        from ...runtime import native
+
+        r = native.find_matches(
+            data.tobytes(), max_dist, depth or LEVEL_DEPTH[level],
+            LEVEL_NICE[level], hash_bits, patience, hash6_depth,
+            strategy is ZlibStrategy.Filtered)
+        if r is not None:
+            return r
+
     u64 = _build_u64_view(data, consts.MAX_MATCH + 16)
     limit = np.minimum(consts.MAX_MATCH, n - np.arange(n))
 
@@ -247,6 +257,14 @@ def find_matches_k(data: np.ndarray, level: int, max_dist: int, K: int = 3,
     dists_k = np.zeros((n, K), dtype=np.int64)
     if n < consts.MIN_MATCH + 1:
         return lens_k, dists_k
+    if n > 4096:
+        from ...runtime import native
+
+        r = native.find_matches_k(
+            data.tobytes(), max_dist, K, depth or LEVEL_DEPTH[min(level, 9)],
+            LEVEL_NICE[min(level, 9)], deflate_heuristics, hash_bits)
+        if r is not None:
+            return r
     u64 = _build_u64_view(data, consts.MAX_MATCH + 16)
     limit = np.minimum(consts.MAX_MATCH, n - np.arange(n))
     m = n - 2
@@ -298,6 +316,15 @@ def greedy_cover(nxt: np.ndarray) -> np.ndarray:
     pointer doubling (after k rounds the path's first 2^k nodes are marked
     and the jump table advances 2^k steps)."""
     n = len(nxt)
+    if n > 4096:
+        from ...runtime import native
+
+        lib = native._load()
+        if lib is not None and hasattr(lib, "compu_greedy_cover"):
+            nxt64 = np.ascontiguousarray(nxt, dtype=np.int64)
+            out = np.empty(n, dtype=np.int64)
+            t = lib.compu_greedy_cover(nxt64.ctypes.data, n, out.ctypes.data)
+            return out[:t]
     jump = np.concatenate([nxt, [n]]).astype(np.int64)
     on_path = np.zeros(n + 1, dtype=bool)
     on_path[0] = True

@@ -34,6 +34,17 @@ def _sequences_from_tokens(data, tok_pos, tok_len, tok_dist):
     literal byte stream. Adjacent same-distance matches merge into one long
     sequence (the shared matcher caps matches at DEFLATE's 258; zstd match
     lengths are unbounded, so merging recovers long runs)."""
+    from . import native_enc
+
+    if len(tok_pos) > 512 and native_enc.available():
+        r = native_enc.seq_from_tokens(bytes(data), tok_pos, tok_len, tok_dist)
+        if r is not None:
+            lits, (ll, off, ml) = r
+            # (n, 3) array: downstream stages consume rows (ll, off, ml);
+            # staying in numpy avoids O(n) list<->array round-trips.
+            return lits, np.stack(
+                [ll.astype(np.int64), off.astype(np.int64),
+                 ml.astype(np.int64)], axis=1)
     lits = bytearray()
     seqs = []
     pending_lit = 0
@@ -134,13 +145,13 @@ def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
     # sublength DP would grind O(n * |sublens| * rounds) for <0.1% gain.
     if len(tok[0]) * 64 < n:
         return tok
-    lens_kl = lens_k.tolist()
-    dists_kl = dists_k.tolist()
-    data_l = data.tolist()
+    from . import native_enc
+
+    use_native = native_enc.available()
     # Offset codes per candidate (value = offset+3; repeat slots are priced
-    # by the channel stats, not per-position).
-    blen = np.vectorize(lambda v: int(v).bit_length(), otypes=[np.int64])
-    occ_k = blen(np.maximum(dists_k, 1) + 3) - 1
+    # by the channel stats, not per-position). bit_length via searchsorted
+    # over powers of two.
+    occ_k = np.searchsorted(_POW2, np.maximum(dists_k, 1) + 3, side="right") - 1
 
     def chan_cost(codes, nsym):
         f = np.bincount(codes, minlength=nsym).astype(np.float64)
@@ -150,7 +161,7 @@ def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
     rounds = 4 if level >= 22 else (3 if level >= 15 else 2)
     for _ in range(rounds):
         lits, seqs = _sequences_from_tokens(data, *tok)
-        if not seqs:
+        if len(seqs) == 0:
             break
         seqs = _promote_rep_offsets(full, hist_len, seqs, rep_in)
         lf = np.bincount(np.frombuffer(lits, np.uint8), minlength=256)
@@ -159,10 +170,19 @@ def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
             ll_[ll_ == 0] = 12.0
         else:
             ll_ = np.full(256, 8.0)
-        litcost = ll_.tolist()
-        of_codes = np.int64([_offset_code(v) for v in _resolve_offset_values(seqs, rep_in)[0]])
-        ml_codes = np.int64([T.ml_code(ml) for _, _, ml in seqs])
-        ll_codes = np.int64([T.ll_code(ll) for ll, _, _ in seqs])
+        sa = np.asarray(seqs, dtype=np.int64)
+        rov = native_enc.resolve_offsets(sa[:, 0], sa[:, 1], rep_in) \
+            if use_native else None
+        if rov is not None:
+            of_vals = rov[0]
+        else:
+            of_vals = np.int64(_resolve_offset_values(seqs, rep_in)[0])
+        of_codes = np.searchsorted(_POW2, of_vals, side="right") - 1
+        ml_a, ll_a = sa[:, 2], sa[:, 0]
+        ml_codes = np.where(
+            ml_a < 35, ml_a - 3, np.searchsorted(T.ML_BASE, ml_a, side="right") - 1)
+        ll_codes = np.where(
+            ll_a < 16, ll_a, np.searchsorted(T.LL_BASE, ll_a, side="right") - 1)
         ofc = chan_cost(of_codes, 32)
         mlc = chan_cost(ml_codes, 53)
         llc = chan_cost(ll_codes, 36)
@@ -174,13 +194,27 @@ def _zstd_optimal_tokens(full: np.ndarray, hist_len: int, level: int,
         llc0 = float(llc[0])
         ll_tot = float(np.sum(llc[ll_codes] + T.LL_BITS[ll_codes]))
         lit_extra = max(0.0, (ll_tot - len(seqs) * llc0) / max(len(lits), 1))
-        litcost = [c + lit_extra for c in litcost]
         ll_avg = llc0
-        mlcost_len = (mlc[_ML_CODE_LEN[3:]] + _ML_XBITS_LEN[3:]).tolist()  # [l-3]
-        dc_k = (ofc[np.clip(occ_k, 0, 31)] + occ_k + ll_avg).tolist()  # (n, K)
+        mlcost_arr = mlc[_ML_CODE_LEN[3:]] + _ML_XBITS_LEN[3:]  # [l-3]
+        dc_arr = ofc[np.clip(occ_k, 0, 31)] + occ_k + ll_avg  # (n, K)
         # Repeat-offset match price: OF value 1 -> code 0, zero extra bits.
         rep_dc = float(ofc[0]) + ll_avg
+        if use_native:
+            # Native DP (csrc/compu_zstd_enc.cpp), identical relax loop.
+            r = native_enc.optimal_parse(
+                full.tobytes(), hist_len, n, lens_k, dists_k,
+                ll_ + lit_extra, mlcost_arr, dc_arr, rep_dc,
+                _ML_SUBLENS, rep_in[0] if rep_in else 1)
+            if r is not None:
+                tok = r
+                continue
+        litcost = (ll_ + lit_extra).tolist()
+        mlcost_len = mlcost_arr.tolist()
+        dc_k = dc_arr.tolist()
         full_l = full.tolist()
+        lens_kl = lens_k.tolist()
+        dists_kl = dists_k.tolist()
+        data_l = data.tolist()
         INF = 1e18
         # Forward DP with arrival rep0 state (btultra-style): a position's
         # best path carries the rep0 its predecessor match established, and
@@ -284,6 +318,12 @@ def _promote_rep_offsets(full: np.ndarray, hist_len: int, seqs, rep=None):
     Tracks the 3-slot history exactly as the decoder does, including the
     ll==0 slot rotation (decode.py::_execute_sequences); ``rep`` is the
     incoming frame-persistent ring."""
+    from . import native_enc
+
+    if len(seqs) > 64 and native_enc.available():
+        r = native_enc.promote_rep(full.tobytes(), hist_len, seqs, rep)
+        if r is not None:
+            return r
     rep = list(rep) if rep is not None else [1, 4, 8]
     pos = hist_len
     out = []
@@ -447,7 +487,7 @@ def _literals_section(lits: bytes, reuse: dict | None = None,
 
 
 def _offset_code(offset_value: int) -> int:
-    return offset_value.bit_length() - 1
+    return int(offset_value).bit_length() - 1
 
 
 def _fse_bits(freqs, norm, log) -> float:
@@ -471,12 +511,13 @@ class _SeqTable:
     def __init__(self, codes, default_dist, default_log, max_symbol, max_log,
                  reuse: dict | None = None, chan: str | None = None):
         self.codes = codes
-        uniq = set(codes)
-        freqs = np.bincount(np.asarray(codes, dtype=np.int64), minlength=max_symbol + 1)
+        codes_a = np.asarray(codes, dtype=np.int64)
+        freqs = np.bincount(codes_a, minlength=max_symbol + 1)
+        uniq = np.nonzero(freqs)[0]
         cands = []  # (bits, mode, header, enc, new_state)
         if len(uniq) == 1:
-            cands.append((8.0, 1, bytes([codes[0]]), None, None))
-        norm, log = normalize_counts(freqs, len(codes), max_log)
+            cands.append((8.0, 1, bytes([int(codes_a[0])]), None, None))
+        norm, log = normalize_counts(freqs, len(codes_a), max_log)
         if norm is not None:
             try:
                 enc = FseEncodeTable(norm, log)
@@ -487,7 +528,8 @@ class _SeqTable:
                 ))
             except CodecFailure:
                 pass
-        if all(c < len(default_dist) and default_dist[c] != 0 for c in uniq):
+        dd = np.asarray(default_dist, dtype=np.int64)
+        if uniq[-1] < len(dd) and np.all(dd[uniq] != 0):
             denc = FseEncodeTable(default_dist, default_log)
             cands.append((
                 _fse_bits(freqs, default_dist, default_log),
@@ -496,7 +538,8 @@ class _SeqTable:
         prev = reuse.get(chan) if reuse else None
         if prev is not None:
             penc, pnorm, plog = prev
-            if all(c < len(pnorm) and pnorm[c] != 0 for c in uniq):
+            pn = np.asarray(pnorm, dtype=np.int64)
+            if uniq[-1] < len(pn) and np.all(pn[uniq] != 0):
                 cands.append((_fse_bits(freqs, pnorm, plog), 3, b"", penc, prev))
         if not cands:
             raise CodecFailure(299, "cannot code sequence channel")
@@ -548,8 +591,13 @@ def _resolve_offset_values(seqs, rep=None):
     return of_values, rep
 
 
+_POW2 = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+
+
 def _sequences_section(seqs, reuse: dict | None = None,
                        device: bool = False) -> bytes:
+    from . import native_enc
+
     n = len(seqs)
     out = bytearray()
     if n < 128:
@@ -564,13 +612,28 @@ def _sequences_section(seqs, reuse: dict | None = None,
     if n == 0:
         return bytes(out)
 
-    ll_codes = [T.ll_code(ll) for ll, _, _ in seqs]
     rep_in = reuse.get("rep") if reuse else None
-    of_values, rep_out = _resolve_offset_values(seqs, rep_in)
+    use_native = n > 64 and native_enc.available()
+    if use_native:
+        # Vectorized channel codes + native repeat-offset resolution (the
+        # pure-Python twins below stay the reference implementation).
+        sa = np.asarray(seqs, dtype=np.int64)
+        ll_a, off_a, ml_a = sa[:, 0], sa[:, 1], sa[:, 2]
+        ll_codes_a = np.where(
+            ll_a < 16, ll_a, np.searchsorted(T.LL_BASE, ll_a, side="right") - 1)
+        ml_codes_a = np.where(
+            ml_a < 35, ml_a - 3, np.searchsorted(T.ML_BASE, ml_a, side="right") - 1)
+        of_values_a, rep_out = native_enc.resolve_offsets(ll_a, off_a, rep_in)
+        of_codes_a = np.searchsorted(_POW2, of_values_a, side="right") - 1
+        ll_codes, ml_codes = ll_codes_a, ml_codes_a
+        of_codes, of_values = of_codes_a, of_values_a
+    else:
+        ll_codes = [T.ll_code(ll) for ll, _, _ in seqs]
+        of_values, rep_out = _resolve_offset_values(seqs, rep_in)
+        of_codes = [_offset_code(v) for v in of_values]
+        ml_codes = [T.ml_code(ml) for _, _, ml in seqs]
     if reuse is not None:
         reuse["rep"] = rep_out
-    of_codes = [_offset_code(v) for v in of_values]
-    ml_codes = [T.ml_code(ml) for _, _, ml in seqs]
 
     ll_t = _SeqTable(ll_codes, T.LL_DEFAULT_DIST, T.LL_DEFAULT_LOG,
                      T.MAX_LL_SYMBOL, T.MAX_LL_LOG, reuse, "ll")
@@ -588,6 +651,21 @@ def _sequences_section(seqs, reuse: dict | None = None,
         # bit pack on device, byte-identical (kernels/zstd_seq_jax.py).
         blob = _sequences_bitstream_device(
             seqs, ll_codes, ml_codes, of_codes, of_values, ll_t, ml_t, of_t)
+        if blob is not None:
+            out.extend(blob)
+            return bytes(out)
+
+    if use_native:
+        # Native twin of the push loop below (csrc/compu_zstd_enc.cpp),
+        # byte-identical.
+        ll_x = ll_a - T.LL_BASE[ll_codes_a]
+        ll_xb = T.LL_BITS[ll_codes_a]
+        ml_x = ml_a - T.ML_BASE[ml_codes_a]
+        ml_xb = T.ML_BITS[ml_codes_a]
+        of_x = of_values_a - _POW2[of_codes_a]
+        blob = native_enc.seq_bitstream(
+            ll_codes_a, ml_codes_a, of_codes_a, ll_x, ll_xb, ml_x, ml_xb,
+            of_x, of_codes_a, ll_t.enc, ml_t.enc, of_t.enc)
         if blob is not None:
             out.extend(blob)
             return bytes(out)
@@ -690,7 +768,7 @@ def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
         tok_pos, tok_len, tok_dist = tokenize(arr, min(level, 9), strategy, max_dist)
     lits, seqs = _sequences_from_tokens(arr, tok_pos, tok_len, tok_dist)
     local = dict(reuse) if reuse is not None else None
-    if seqs and level >= 5 and tokenizer is None:
+    if len(seqs) and level >= 5 and tokenizer is None:
         fullarr = np.frombuffer(history + data, dtype=np.uint8) if history else arr
         seqs = _promote_rep_offsets(fullarr, len(history), seqs,
                                     local.get("rep") if local else None)

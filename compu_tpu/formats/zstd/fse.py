@@ -59,8 +59,10 @@ class BackwardBitWriter:
     def push(self, value: int, n: int) -> None:
         if n == 0:
             return
-        self.value = (self.value << n) | (value & ((1 << n) - 1))
-        self.bits += n
+        # int() guards against numpy scalars (a np.int64 shifted by a
+        # Python-int bit count >= 64 raises OverflowError)
+        self.value = (self.value << int(n)) | (int(value) & ((1 << int(n)) - 1))
+        self.bits += int(n)
 
     def finish(self) -> bytes:
         """Place the sentinel bit on top and pad up to a whole byte."""
@@ -82,8 +84,9 @@ class ForwardBitWriter:
     def push(self, value: int, n: int) -> None:
         if n == 0:
             return
-        self.value |= (value & ((1 << n) - 1)) << self.bits
-        self.bits += n
+        # int() guards against numpy scalars (see BackwardBitWriter.push)
+        self.value |= (int(value) & ((1 << int(n)) - 1)) << self.bits
+        self.bits += int(n)
 
     def finish(self) -> bytes:
         v = self.value | (1 << self.bits)

@@ -200,30 +200,35 @@ class HufEncoder:
         except CodecFailure:
             return None
         header = write_norm_counts(norm, table_log)
-        writer = ForwardBitWriter()
-        # Encode walks symbols backward, init-ing each state at its
-        # subsequence's last symbol; the decoder reads A-init, B-init, then
-        # per-symbol updates forward — i.e. exactly reverse push order.
-        state_a = state_b = None
-        for i in range(len(transmitted) - 1, -1, -1):
-            w = transmitted[i]
-            if i % 2 == 0:
-                state_a = (
-                    enc.init_state(w)
-                    if state_a is None
-                    else enc.encode(state_a, w, writer)
-                )
-            else:
-                state_b = (
-                    enc.init_state(w)
-                    if state_b is None
-                    else enc.encode(state_b, w, writer)
-                )
-        if state_a is None or state_b is None:
-            return None
-        enc.flush(state_b, writer)
-        enc.flush(state_a, writer)
-        payload = writer.finish()
+        from . import native_enc
+
+        payload = native_enc.fse_pair_stream(transmitted, enc) \
+            if native_enc.available() else None
+        if payload is None:
+            writer = ForwardBitWriter()
+            # Encode walks symbols backward, init-ing each state at its
+            # subsequence's last symbol; the decoder reads A-init, B-init,
+            # then per-symbol updates forward — exactly reverse push order.
+            state_a = state_b = None
+            for i in range(len(transmitted) - 1, -1, -1):
+                w = transmitted[i]
+                if i % 2 == 0:
+                    state_a = (
+                        enc.init_state(w)
+                        if state_a is None
+                        else enc.encode(state_a, w, writer)
+                    )
+                else:
+                    state_b = (
+                        enc.init_state(w)
+                        if state_b is None
+                        else enc.encode(state_b, w, writer)
+                    )
+            if state_a is None or state_b is None:
+                return None
+            enc.flush(state_b, writer)
+            enc.flush(state_a, writer)
+            payload = writer.finish()
         total = len(header) + len(payload)
         if total >= 128:
             return None
@@ -241,6 +246,12 @@ class HufEncoder:
         return blob
 
     def encode_stream(self, data: bytes) -> bytes:
+        if len(data) > 64:
+            from . import native_enc
+
+            blob = native_enc.huf_stream(data, self.code, self.nbits)
+            if blob is not None:
+                return blob
         writer = BackwardBitWriter()
         code = self.code
         nbits = self.nbits

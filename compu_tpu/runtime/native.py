@@ -18,7 +18,8 @@ _CSRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc"
 _SRC = _CSRC / "compu_runtime.cpp"
 _SRCS = [_SRC, _CSRC / "compu_inflate.cpp", _CSRC / "compu_deflate.cpp",
          _CSRC / "compu_parse.cpp", _CSRC / "compu_zstd.cpp",
-         _CSRC / "compu_brotli.cpp"]
+         _CSRC / "compu_brotli.cpp", _CSRC / "compu_zstd_enc.cpp",
+         _CSRC / "compu_brotli_enc.cpp"]
 _SO = _SRC.with_name("libcompu_runtime.so")
 _lock = threading.Lock()
 _lib = None
@@ -112,6 +113,103 @@ def _load():
                     ctypes.POINTER(ctypes.c_size_t),
                     ctypes.POINTER(ctypes.c_size_t),
                 ]
+            if hasattr(lib, "compu_zstd_seq_bitstream"):
+                lib.compu_zstd_seq_from_tokens.restype = ctypes.c_longlong
+                lib.compu_zstd_seq_from_tokens.argtypes = [
+                    ctypes.c_char_p, ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+                ]
+                lib.compu_zstd_resolve_offsets.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                ]
+                lib.compu_zstd_seq_bitstream.restype = ctypes.c_longlong
+                lib.compu_zstd_seq_bitstream.argtypes = (
+                    [ctypes.c_longlong]
+                    + [ctypes.c_void_p] * 3
+                    + [ctypes.c_void_p] * 6
+                    + [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                       ctypes.c_void_p, ctypes.c_int] * 3
+                    + [ctypes.c_void_p, ctypes.c_longlong]
+                )
+                lib.compu_huf_encode_stream.restype = ctypes.c_longlong
+                lib.compu_huf_encode_stream.argtypes = [
+                    ctypes.c_char_p, ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_longlong,
+                ]
+                lib.compu_fse_pair_stream.restype = ctypes.c_longlong
+                lib.compu_fse_pair_stream.argtypes = [
+                    ctypes.c_char_p, ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_longlong,
+                ]
+                lib.compu_zstd_optimal_parse.restype = ctypes.c_longlong
+                lib.compu_zstd_optimal_parse.argtypes = [
+                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_double,
+                    ctypes.c_void_p, ctypes.c_int,
+                    ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ]
+                lib.compu_zstd_promote_rep.argtypes = [
+                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_longlong, ctypes.c_void_p,
+                ]
+                lib.compu_find_matches_k.restype = ctypes.c_longlong
+                lib.compu_find_matches_k.argtypes = [
+                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                ]
+                lib.compu_greedy_cover.restype = ctypes.c_longlong
+                lib.compu_greedy_cover.argtypes = [
+                    ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p]
+                lib.compu_find_matches.argtypes = [
+                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                ]
+            if hasattr(lib, "compu_brotli_emit_commands"):
+                lib.compu_brotli_commands_from_tokens.restype = ctypes.c_longlong
+                lib.compu_brotli_commands_from_tokens.argtypes = [
+                    ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p,
+                ]
+                lib.compu_brotli_plan_distances.restype = ctypes.c_longlong
+                lib.compu_brotli_plan_distances.argtypes = [
+                    ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ]
+                lib.compu_brotli_emit_commands.restype = ctypes.c_longlong
+                lib.compu_brotli_emit_commands.argtypes = [
+                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+                    ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_uint64, ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                ]
             if hasattr(lib, "compu_inflate_new"):
                 lib.compu_inflate_new.restype = ctypes.c_void_p
                 lib.compu_inflate_free.argtypes = [ctypes.c_void_p]
@@ -153,6 +251,45 @@ def xxh64(data, seed: int = 0) -> int | None:
     if lib is None:
         return None
     return int(lib.compu_xxh64(bytes(data), len(data), seed))
+
+
+def find_matches_k(data, max_dist, K, depth, nice, deflate_heuristics,
+                   hash_bits):
+    """Native pareto-candidate chain matcher; None when the library is
+    absent. Returns (lens_k, dists_k) int64 (n, K) arrays — identical to
+    the numpy reference (deflate_encode.find_matches_k)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "compu_find_matches_k"):
+        return None
+    import numpy as np
+
+    n = len(data)
+    lens_k = np.zeros((n, K), dtype=np.int64)
+    dists_k = np.zeros((n, K), dtype=np.int64)
+    lib.compu_find_matches_k(
+        bytes(data), n, max_dist, K, depth, nice,
+        1 if deflate_heuristics else 0, hash_bits,
+        lens_k.ctypes.data, dists_k.ctypes.data)
+    return lens_k, dists_k
+
+
+def find_matches(data, max_dist, depth, nice, hash_bits, patience,
+                 hash6_depth, filtered):
+    """Native best-match chain walk; None when the library is absent.
+    Identical to the numpy reference (deflate_encode.find_matches)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "compu_find_matches"):
+        return None
+    import numpy as np
+
+    n = len(data)
+    lens = np.zeros(n, dtype=np.int64)
+    dists = np.zeros(n, dtype=np.int64)
+    lib.compu_find_matches(
+        bytes(data), n, max_dist, depth, nice, hash_bits, patience,
+        hash6_depth, 1 if filtered else 0,
+        lens.ctypes.data, dists.ctypes.data)
+    return lens, dists
 
 
 def optimal_parse(data, lens, dists, litcost, lcost, dcost, cands):
