@@ -171,6 +171,47 @@ def decode_kernel_mbps(stream: bytes, index, batch: int = 16,
     return batch * bs / per / 1e6
 
 
+def format_decode_numbers(corpus: bytes, smoke: bool) -> dict:
+    """Native host decode throughput for zstd / brotli (VERDICT r3 item 5:
+    unmeasured = unmanaged). Streams come from the foreign reference
+    encoders (zstandard / libbrotli) so the numbers are comparable to the
+    reference adapters decoding foreign streams."""
+    import zstandard as zstd_mod
+
+    from compu_tpu import ByteVec, decoder
+
+    sys.path.insert(0, "tests")
+    import brotli_oracle
+
+    sl = corpus[: (1 << 20) if smoke else (8 << 20)]
+    out = {}
+    jobs = []
+    try:
+        jobs.append(("zstd", zstd_mod.ZstdCompressor(level=3).compress(sl),
+                     decoder.Interface.zstd_native()))
+    except Exception as exc:
+        out["zstd_decode_error"] = type(exc).__name__
+    try:
+        jobs.append(("brotli", brotli_oracle.compress(sl, quality=5),
+                     decoder.Interface.brotli_native()))
+    except Exception as exc:
+        out["brotli_decode_error"] = type(exc).__name__
+    for name, blob, dec in jobs:
+        try:
+            buf = bytearray(len(sl) + 4096)
+            dec.decode(blob, memoryview(buf))  # warm
+            dec.reset()
+            t0 = time.time()
+            res = dec.decode(blob, memoryview(buf))
+            dt = time.time() - t0
+            produced = len(buf) - res.output_remain
+            assert bytes(buf[:produced]) == sl, f"{name} decode mismatch"
+            out[f"{name}_decode_native_MBps"] = round(len(sl) / dt / 1e6, 1)
+        except Exception as exc:  # pragma: no cover - report, don't fail
+            out[f"{name}_decode_error"] = type(exc).__name__
+    return out
+
+
 def hybrid_format_numbers(corpus: bytes, smoke: bool) -> dict:
     """zstd / brotli device-LZ hybrid encode rates + ratios on a corpus
     slice (their entropy stages are host-side; the slice keeps the bench
@@ -278,6 +319,7 @@ def main() -> None:
     kern = 0.0 if smoke else kernel_only_gbps(corpus)
     dec_kern = 0.0 if smoke else decode_kernel_mbps(stream, index)
     fmt = hybrid_format_numbers(corpus, smoke)
+    fmt.update(format_decode_numbers(corpus, smoke))
 
     gbps = n / dt / 1e9
     ratio = n / len(stream)
