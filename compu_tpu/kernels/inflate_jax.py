@@ -286,13 +286,17 @@ def _expand_and_resolve(t_rec, lane, ns, ok, *, B, N, S, R=SEG):
     root, _, _ = jax.lax.while_loop(
         not_done, advance, (root, unres0, jnp.int32(0))
     )
-    # Unresolved-first order; the first KSUB slots cover every unresolved
-    # position (the loop above guaranteed the count fits). Filler slots
-    # (resolved or padding) are forced negative so they are inert.
-    order = jnp.argsort(jnp.where((root >= 0) & valid, 0, 1).astype(jnp.int8),
-                        stable=True)
-    cand = order[:KSUB]
-    sub = jnp.where(valid[cand], root[cand], -1)
+    # Compact the unresolved set (the loop above guaranteed the count fits
+    # KSUB). nonzero(size=) lowers to cumsum + scatter — a 4M-element
+    # argsort here was ~an order of magnitude more expensive on TPU.
+    # Padding slots repeat index 0, so they must be inert: mask them to -1
+    # in `sub` and scatter with mode="drop" via an out-of-range index.
+    unres_mask = (root >= 0) & valid
+    count = jnp.sum(unres_mask.astype(jnp.int32))
+    (cand0,) = jnp.nonzero(unres_mask, size=KSUB, fill_value=0)
+    slot_live = jnp.arange(KSUB, dtype=jnp.int32) < count
+    cand = jnp.where(slot_live, cand0, NT)  # NT = out of range -> dropped
+    sub = jnp.where(slot_live, root[cand0], -1)
 
     def sub_not_done(carry):
         sub, root, unresolved, it = carry
@@ -302,8 +306,7 @@ def _expand_and_resolve(t_rec, lane, ns, ok, *, B, N, S, R=SEG):
         sub, root, _, it = carry
         hop = root[jnp.maximum(sub, 0)]
         sub = jnp.where(sub >= 0, hop, sub)
-        root = root.at[cand].set(sub, mode="promise_in_bounds",
-                                 unique_indices=True)
+        root = root.at[cand].set(sub, mode="drop")
         return sub, root, jnp.any(sub >= 0), it + 1
 
     sub, root, _, _ = jax.lax.while_loop(
