@@ -2,11 +2,18 @@
 scan phase vs expansion/resolution. Chained dispatch timing (PLAN.md
 measurement hygiene). Clean exits only (axon)."""
 
+import os
 import sys
 import time
 import pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+# terminal-side compile + persistent cache (bench.py environment facts)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "0")
 
 import numpy as np
 import jax
@@ -24,6 +31,13 @@ BLOCK = 1 << 18
 
 
 def build_inputs(batch=16):
+    import pathlib as _p
+
+    cache = _p.Path("/tmp/decode_probe_inputs_%d.npz" % batch)
+    if cache.exists():
+        z = np.load(cache)
+        return (z["comps"], z["segs"], z["ns"], z["lit"], z["dist"],
+                int(z["cap"]))
     from bench import build_corpus
     from compu_tpu.formats.deflate.options import ZlibMode
 
@@ -55,6 +69,8 @@ def build_inputs(batch=16):
         dist_lens[j] = dist
         j += 1
     assert j == batch, j
+    np.savez(cache, comps=comps, segs=segs, ns=ns, lit=lit_lens,
+             dist=dist_lens, cap=np.int64(cap))
     return comps, segs, ns, lit_lens, dist_lens, cap
 
 
