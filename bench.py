@@ -128,7 +128,7 @@ def decode_kernel_mbps(stream: bytes, index, batch: int = 16,
     comps = np.zeros((batch, cap), dtype=np.uint8)
     segs = np.zeros((batch, bs // 128), dtype=np.int32)
     ns = np.zeros(batch, dtype=np.int32)
-    lit_lens = np.zeros((batch, 286), dtype=np.int32)
+    lit_lens = np.zeros((batch, 288), dtype=np.int32)
     dist_lens = np.zeros((batch, 30), dtype=np.int32)
     j = 0
     for b in range(len(index.raw_lengths)):

@@ -37,7 +37,10 @@ from .options import ZlibDecodeOptions, ZlibMode
 def parse_block_header_at(data: bytes, bit: int):
     """Parse ONE deflate block header starting at absolute ``bit``.
 
-    Returns (kind, lit_lens[286], dist_lens[30], body_bit, bfinal):
+    Returns (kind, lit_lens[288], dist_lens[30], body_bit, bfinal):
+    288 includes the phantom fixed-tree symbols 286/287 — never emitted,
+    but their 8-bit lengths shift every 9-bit code's canonical number
+    (dropping them decoded all 9-bit literals +4).
     kind 0 = stored, 1 = fixed, 2 = dynamic; ``body_bit`` is the absolute
     bit where the block body (tokens / stored payload) starts. Raises
     CodecFailure on corruption, IndexError on truncation."""
@@ -48,15 +51,15 @@ def parse_block_header_at(data: bytes, bit: int):
     r.bitpos = bit
     bfinal = r.read(1)
     btype = r.read(2)
-    lit = np.zeros(286, dtype=np.int32)
+    lit = np.zeros(288, dtype=np.int32)
     dist = np.zeros(30, dtype=np.int32)
     if btype == 3:
         raise CodecFailure(-3, "invalid block type")
     if btype == 0:
         return 0, lit, dist, r.bitpos, bfinal
     if btype == 1:
-        lit[:286] = np.asarray(
-            [8] * 144 + [9] * 112 + [7] * 24 + [8] * 6, dtype=np.int32
+        lit[:288] = np.asarray(
+            [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8, dtype=np.int32
         )
         dist[:] = 5
         return 1, lit, dist, r.bitpos, bfinal

@@ -224,9 +224,14 @@ def _expand_and_resolve(t_rec, lane, ns, ok, *, B, N, S, R=SEG):
     flat_start = (lane_out_base[:, None] + t_start).reshape(-1)
     valid_tok = t_start.reshape(-1) < 511
     slot = jnp.arange(L * R, dtype=jnp.int32) + 1  # row-major (lane, t)
-    slot_at = jnp.zeros(NT + SEG + 512, jnp.int32).at[
-        jnp.clip(flat_start, 0, NT + SEG + 511)
-    ].max(jnp.where(valid_tok, slot, 0))[:NT]
+    # Valid token starts are unique output positions; INACTIVE slots are
+    # the bulk of the record array (R is sized for the worst case) — give
+    # them out-of-range addresses so the scatter drops them instead of
+    # serializing millions of updates onto one guard cell, and the rest
+    # can use the unique-indices lowering.
+    addr = jnp.where(valid_tok, flat_start, NT + SEG + 512)
+    slot_at = jnp.zeros(NT + SEG + 512, jnp.int32).at[addr].max(
+        slot, mode="drop", unique_indices=True)[:NT]
     tokid_flat = jnp.clip(jax.lax.cummax(slot_at) - 1, 0, L * R - 1)
 
     rec_of = t_rec.reshape(-1)[tokid_flat]  # the ONE expansion gather

@@ -102,7 +102,7 @@ def decode_blocks_indexed_dyn(comps: jnp.ndarray, seg_bits: jnp.ndarray,
       comps: uint8[B, CAP] compressed bytes per block (>= 12 zero pad).
       seg_bits: int32[B, S] per-segment bit offsets (from the block start).
       ns: int32[B] decoded length per block.
-      lit_lens: int32[B, 286] lit/len code lengths (fixed-tree lengths for
+      lit_lens: int32[B, 288] lit/len code lengths (fixed-tree lengths for
         btype=01 blocks — the canonical machinery is uniform).
       dist_lens: int32[B, 30] distance code lengths.
       n_out: padded block size (static).
@@ -115,7 +115,7 @@ def decode_blocks_indexed_dyn(comps: jnp.ndarray, seg_bits: jnp.ndarray,
     S = N // SEG
     L = B * S
 
-    lc, lf, lb, lsyms = jax.vmap(lambda l: _canon_tables(l, 286))(lit_lens)
+    lc, lf, lb, lsyms = jax.vmap(lambda l: _canon_tables(l, 288))(lit_lens)
     dc, df, db_, dsyms = jax.vmap(lambda l: _canon_tables(l, 30))(dist_lens)
 
     c4 = comps.reshape(B * CAP // 4, 4).astype(jnp.uint32)
@@ -154,10 +154,11 @@ def decode_blocks_indexed_dyn(comps: jnp.ndarray, seg_bits: jnp.ndarray,
         t, bit, outp, t_rec, bad = carry
         active = outp < target
         w = window(bit)
-        sym, clen = _decode_sym(w, blk, lc, lf, lb, lsyms, 286)
+        sym, clen = _decode_sym(w, blk, lc, lf, lb, lsyms, 288)
         is_lit = active & (sym >= 0) & (sym < 256)
         is_eob = active & (sym == 256)
-        is_match = active & (sym > 256)
+        is_match = active & (sym > 256) & (sym < 286)
+        bad = bad | (active & (sym >= 286))
         bad = bad | (active & (sym < 0)) | is_eob
         code = jnp.clip(sym - 257, 0, 30)
         lxb = _LXB[code]
@@ -215,7 +216,11 @@ def decode_blocks_indexed_dyn(comps: jnp.ndarray, seg_bits: jnp.ndarray,
 def parse_block_tables(blob: bytes):
     """Parse ONE deflate block header from the start of ``blob``.
 
-    Returns (kind, lit_lens[286], dist_lens[30], header_bits):
+    Returns (kind, lit_lens[288], dist_lens[30], header_bits):
+    288 includes the two phantom fixed-tree symbols (286, 287): they are
+    never emitted, but their 8-bit lengths shift the canonical numbering
+    of every 9-bit code — truncating them decoded all 9-bit literals +4
+    (found on high-byte-value corpora).
     kind 0 = stored (tables empty), 1 = fixed, 2 = dynamic. Mirrors the
     host inflate's header parse (formats/deflate/inflate.py:196-274) but
     stateless, for the indexed device-decode driver."""
@@ -225,13 +230,13 @@ def parse_block_tables(blob: bytes):
     r = BitReader(bytearray(blob), 0)
     r.read(1)  # bfinal (blocks in a parallel stream are never final)
     btype = r.read(2)
-    lit = np.zeros(286, dtype=np.int32)
+    lit = np.zeros(288, dtype=np.int32)
     dist = np.zeros(30, dtype=np.int32)
     if btype == 0:
         return 0, lit, dist, 0
     if btype == 1:
-        lit[:286] = np.asarray(
-            [8] * 144 + [9] * 112 + [7] * 24 + [8] * 6, dtype=np.int32
+        lit[:288] = np.asarray(
+            [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8, dtype=np.int32
         )
         dist[:] = 5
         return 1, lit, dist, 3

@@ -84,10 +84,10 @@ def _lit_lut_block(lit_lens, nbits=LUT_BITS):
     """(2^nbits,) packed lit/len records: kind(2) | clen(4) | lxb(3) |
     arg(8). kind 0 = literal (arg = byte), 1 = match (arg = len_base - 3),
     2 = EOB, 3 = invalid."""
-    sym, clen, ok = _lut_decode_all(lit_lens, 286, nbits)
+    sym, clen, ok = _lut_decode_all(lit_lens, 288, nbits)
     is_lit = ok & (sym < 256)
     is_eob = ok & (sym == 256)
-    is_match = ok & (sym > 256)
+    is_match = ok & (sym > 256) & (sym < 286)
     code = jnp.clip(sym - 257, 0, 28)
     kind = jnp.where(is_lit, 0, jnp.where(is_match, 1,
                                           jnp.where(is_eob, 2, 3)))

@@ -257,7 +257,12 @@ class BlockParallelDecoder:
         from concurrent.futures import ThreadPoolExecutor
 
         def one(i, off, clen, rlen):
-            piece = self._decode_block(stream[off : off + clen], rlen)
+            try:
+                piece = self._decode_block(stream[off : off + clen], rlen)
+            except Exception as exc:
+                self.block_statuses[i].state = BlockState.Failed
+                self.block_statuses[i].error = str(exc)
+                raise
             if self.block_statuses[i].state is BlockState.DeviceFailed:
                 self.block_statuses[i].state = BlockState.HostFallback
             return piece
@@ -266,18 +271,12 @@ class BlockParallelDecoder:
             range(nblocks), index.compressed_offsets,
             index.compressed_lengths, index.raw_lengths,
         ))
-        try:
-            if nblocks > 1:
-                with ThreadPoolExecutor(max_workers=min(8, nblocks)) as pool:
-                    futs = [pool.submit(one, *j) for j in jobs]
-                    pieces = [f.result() for f in futs]
-            else:
-                pieces = [one(*j) for j in jobs]
-        except Exception as exc:
-            for st in self.block_statuses:
-                if st.state not in (BlockState.Ok, BlockState.HostFallback):
-                    st.state, st.error = BlockState.Failed, str(exc)
-            raise
+        if nblocks > 1:
+            with ThreadPoolExecutor(max_workers=min(8, nblocks)) as pool:
+                futs = [pool.submit(one, *j) for j in jobs]
+                pieces = [f.result() for f in futs]
+        else:
+            pieces = [one(*j) for j in jobs]
         return b"".join(pieces)
 
     DEVICE_DECODE_BATCH = 16
@@ -309,7 +308,7 @@ class BlockParallelDecoder:
             comps = np.zeros((batch, cap), dtype=np.uint8)
             segs = np.zeros((batch, bs // 128), dtype=np.int32)
             ns = np.zeros(batch, dtype=np.int32)
-            lit_lens = np.zeros((batch, 286), dtype=np.int32)
+            lit_lens = np.zeros((batch, 288), dtype=np.int32)
             dist_lens = np.zeros((batch, 30), dtype=np.int32)
             lit_lens[:, 0] = 1  # inert complete-ish tables for empty slots
             lit_lens[:, 256] = 1

@@ -50,7 +50,7 @@ def build_inputs(batch=16):
     comps = np.zeros((batch, cap), dtype=np.uint8)
     segs = np.zeros((batch, BLOCK // SEG), dtype=np.int32)
     ns = np.zeros(batch, dtype=np.int32)
-    lit_lens = np.zeros((batch, 286), dtype=np.int32)
+    lit_lens = np.zeros((batch, 288), dtype=np.int32)
     dist_lens = np.zeros((batch, 30), dtype=np.int32)
     j = 0
     for b in range(len(index.raw_lengths)):

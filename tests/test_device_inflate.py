@@ -140,3 +140,50 @@ def test_corrupt_stream_fails():
     # mismatch) or, when the flip mimics truncation, as NeedInput — it
     # must never report Finished with wrong bytes
     assert res.status is not DecodeStatus.Finished
+
+
+def test_fixed_block_high_byte_literals():
+    """Regression: fixed-Huffman 9-bit literal codes (bytes >= 144).
+
+    parse_block_tables once truncated the fixed tree to 286 symbols; the
+    two phantom 8-bit codes (286, 287) shift the canonical numbering of
+    every 9-bit code, so all high-byte literals decoded +4. Text corpora
+    never hit 9-bit codes — this pins the high-byte path."""
+    import numpy as np
+    import jax.numpy as jnp
+    import zlib as _zlib
+
+    from compu_tpu.formats.deflate.options import ZlibMode
+    from compu_tpu.kernels.block_codec import make_block_encode_fn
+    from compu_tpu.kernels.inflate_jax_dyn import (
+        decode_blocks_indexed_dyn,
+        parse_block_tables,
+    )
+    from compu_tpu.kernels.inflate_jax_lut import decode_blocks_indexed_lut
+    from compu_tpu.parallel.scheduler import BlockParallelEncoder
+
+    bs = 1 << 18
+    rng = np.random.default_rng(11)
+    alice = (DATA / "alice29.txt").read_bytes()
+    corpus = (alice + rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+              + alice)[:bs]
+    fn = make_block_encode_fn(ZlibMode.Gzip, level=6, segment_index=True)
+    enc = BlockParallelEncoder(fn, block_size=bs, mode=ZlibMode.Gzip)
+    stream, index = enc.encode(corpus)
+    assert _zlib.decompress(stream, wbits=31) == corpus
+    off = index.compressed_offsets[0]
+    clen = index.compressed_lengths[0]
+    blob = stream[off: off + clen]
+    kind, lit, dist, _ = parse_block_tables(blob[:4096])
+    assert kind != 0
+    cap = bs + bs // 4 + 64 + 16
+    comps = np.zeros((1, cap), dtype=np.uint8)
+    comps[0, :clen] = np.frombuffer(blob, dtype=np.uint8)
+    segs = np.asarray(index.segment_bits[0], dtype=np.int32)[None, :]
+    ns = np.asarray([index.raw_lengths[0]], dtype=np.int32)
+    for fn2 in (decode_blocks_indexed_lut, decode_blocks_indexed_dyn):
+        out, ok = fn2(jnp.asarray(comps), jnp.asarray(segs), jnp.asarray(ns),
+                      jnp.asarray(lit[None, :]), jnp.asarray(dist[None, :]),
+                      n_out=bs)
+        assert int(np.asarray(ok)[0]) == 1
+        assert np.asarray(out)[: len(corpus)].tobytes() == corpus

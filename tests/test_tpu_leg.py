@@ -49,13 +49,13 @@ def device():
 
 
 def test_v3_encode_roundtrip_on_device(device):
-    from compu_tpu.kernels.deflate_jax_v3 import encode_block_dynamic_v3
+    from compu_tpu.kernels.deflate_jax_v3 import encode_block_dyn
 
     data = _corpus(BLOCK)
     arr = np.frombuffer(data, dtype=np.uint8)
     import jax.numpy as jnp
 
-    out, meta = encode_block_dynamic_v3(
+    out, meta = encode_block_dyn(
         jnp.asarray(arr), jnp.int32(len(arr)), depth=8, wcap=8)
     clen = int(np.asarray(meta)[0])
     blob = bytes(np.asarray(out)[:clen].tobytes())
@@ -102,7 +102,7 @@ def test_indexed_lut_decode_roundtrip_on_device(device):
     comps = np.zeros((batch, cap), dtype=np.uint8)
     segs = np.zeros((batch, BLOCK // 128), dtype=np.int32)
     ns = np.zeros(batch, dtype=np.int32)
-    lit_lens = np.zeros((batch, 286), dtype=np.int32)
+    lit_lens = np.zeros((batch, 288), dtype=np.int32)
     dist_lens = np.zeros((batch, 30), dtype=np.int32)
     for j in range(batch):
         off = index.compressed_offsets[j]
