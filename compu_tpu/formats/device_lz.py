@@ -27,11 +27,37 @@ class DeviceTokenizer:
     def __call__(self, data: bytes):
         import jax.numpy as jnp
 
-        from ..kernels.deflate_jax_v2 import device_tokens
+        from ..kernels.deflate_jax_v2 import device_match_tokens, device_tokens
 
         n = len(data)
         padded = np.zeros(self.block_size, dtype=np.uint8)
         padded[:n] = np.frombuffer(data, dtype=np.uint8)
+        # Matches-only D2H (one i64 per match, ~4x fewer bytes over the
+        # high-RTT link); literal tokens are the uncovered gaps. Overflow
+        # (count > cap: degenerate min-length covers) falls back to the
+        # dense per-position transfer.
+        packed, count = device_match_tokens(
+            jnp.asarray(padded), jnp.int32(n),
+            depth=self.depth, max_dist=self.max_dist,
+        )
+        count = int(count)
+        if count <= packed.shape[0]:
+            v = np.asarray(packed[:count]).astype(np.int64)
+            mpos = v[:, 0] & 0xFFFFF
+            mlen = (v[:, 0] >> 20) & 0x1FF
+            mdist = v[:, 1] & 0x1FFFFF
+            # covered[i] > 0 inside a match span; token starts = match
+            # positions plus every uncovered position (a literal each)
+            delta = np.zeros(n + 1, dtype=np.int32)
+            np.add.at(delta, mpos, 1)
+            np.add.at(delta, np.minimum(mpos + mlen, n), -1)
+            covered = np.cumsum(delta[:n]) > 0
+            lit_pos = np.nonzero(~covered)[0].astype(np.int64)
+            tok_pos = np.concatenate([lit_pos, mpos])
+            tok_len = np.concatenate([np.zeros(len(lit_pos), np.int64), mlen])
+            tok_dist = np.concatenate([np.zeros(len(lit_pos), np.int64), mdist])
+            order = np.argsort(tok_pos, kind="stable")
+            return tok_pos[order], tok_len[order], tok_dist[order]
         packed = np.asarray(device_tokens(
             jnp.asarray(padded), jnp.int32(n),
             depth=self.depth, max_dist=self.max_dist,

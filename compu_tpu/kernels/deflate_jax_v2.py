@@ -556,6 +556,38 @@ def device_tokens(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     ).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("depth", "max_dist", "cap"))
+def device_match_tokens(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
+                        max_dist: int = consts.WINDOW_SIZE, cap: int = 0):
+    """Matches-only compact variant of :func:`device_tokens`: D2H carries
+    8 bytes PER MATCH ((pos | len << 20) i32 + dist i32) instead of 4
+    bytes per POSITION — ~4x fewer bytes over the high-RTT device link on
+    typical covers; literal tokens are reconstructed on the host from the
+    uncovered gaps (the cover partitions [0, n), so every position outside
+    a match span is a literal token).
+
+    Returns (packed i32[cap, 2], match_count). ``match_count > cap``
+    signals overflow (degenerate all-3-byte-match covers) — the caller
+    falls back to the dense path. Default cap = N // 6 (matches average
+    >= 6 bytes on anything compressible)."""
+    assert max_dist < (1 << 21)
+    N = data.shape[0]
+    assert N <= (1 << 20), "pos field is 20 bits"
+    cap = cap or (N // 6 + 64)
+    is_tok, best_len, best_dist = match_and_parse(
+        data, n, depth=depth, max_dist=max_dist, clip_seg=False)
+    is_match = is_tok & (best_len >= consts.MIN_MATCH)
+    count = jnp.sum(is_match.astype(jnp.int32))
+    (idx,) = jnp.nonzero(is_match, size=cap, fill_value=N)
+    live = jnp.arange(cap) < count
+    pos = jnp.where(live, idx, 0).astype(jnp.int32)
+    ml = best_len[jnp.clip(idx, 0, N - 1)].astype(jnp.int32)
+    md = best_dist[jnp.clip(idx, 0, N - 1)].astype(jnp.int32)
+    a = jnp.where(live, pos | (ml << 20), -1)
+    b = jnp.where(live, md, -1)
+    return jnp.stack([a, b], axis=1), count
+
+
 @functools.partial(jax.jit, static_argnames=("depth", "cap",
                                               "with_index", "check"))
 def encode_block_fixed_v2(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
