@@ -316,6 +316,19 @@ def main() -> None:
     except Exception:
         dt_nat = float("inf")
 
+    # Threaded host decode of the same standard stream through the
+    # scheduler (independent blocks across a pool; GIL released in the
+    # C++ decoder).
+    try:
+        dpar = BlockParallelDecoder(device=False, block_size=BLOCK)
+        dpar.decode(stream, index)  # warm
+        t4 = time.time()
+        got = dpar.decode(stream, index)
+        dt_par = time.time() - t4
+        assert got == corpus
+    except Exception:
+        dt_par = float("inf")
+
     kern = 0.0 if smoke else kernel_only_gbps(corpus)
     dec_kern = 0.0 if smoke else decode_kernel_mbps(stream, index)
     fmt = hybrid_format_numbers(corpus, smoke)
@@ -334,6 +347,7 @@ def main() -> None:
             "decode_device_MBps": round(n / dt_dec / 1e6, 1),
             "decode_kernel_MBps": round(dec_kern, 1),
             "decode_native_host_MBps": round(n / dt_nat / 1e6, 1),
+            "decode_host_parallel_MBps": round(n / dt_par / 1e6, 1),
             "level": LEVEL,
             **fmt,
         },

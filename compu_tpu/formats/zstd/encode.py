@@ -788,6 +788,41 @@ def compress_block(data: bytes, level: int, max_dist: int = MAX_BLOCK,
     return header(2, len(body)) + body
 
 
+def _slice_token_cover(tok_pos, tok_len, tok_dist, off: int, end: int):
+    """Block-local view [off, end) of a chunk-level token cover, positions
+    rebased to the block. Matches crossing either boundary are split: the
+    in-block fragment keeps its distance (still valid — the distance was
+    legal at the match's earlier start, and the decoder's window spans
+    frame blocks); fragments under MIN_MATCH become literal tokens."""
+    tok_pos = np.asarray(tok_pos, dtype=np.int64)
+    tok_len = np.asarray(tok_len, dtype=np.int64)
+    tok_dist = np.asarray(tok_dist, dtype=np.int64)
+    sel = (tok_pos < end) & (tok_pos + np.maximum(tok_len, 1) > off)
+    p = tok_pos[sel]
+    l = tok_len[sel]
+    d = tok_dist[sel]
+    is_m = l > 0
+    new_p = np.maximum(p, off)
+    new_l = np.where(is_m, np.minimum(p + l, end) - new_p, 0)
+    keep_m = new_l >= 3
+    small = is_m & ~keep_m  # 1-2 byte boundary fragments -> literals
+    lit1 = new_p[~is_m]
+    sp, sl = new_p[small], new_l[small]
+    if len(sp):
+        tot = int(sl.sum())
+        lit2 = np.repeat(sp, sl) + (np.arange(tot)
+                                    - np.repeat(np.cumsum(sl) - sl, sl))
+    else:
+        lit2 = np.zeros(0, np.int64)
+    mp, ml, md = new_p[keep_m], new_l[keep_m], d[keep_m]
+    nlit = len(lit1) + len(lit2)
+    pos = np.concatenate([lit1, lit2, mp])
+    ln = np.concatenate([np.zeros(nlit, np.int64), ml])
+    dist = np.concatenate([np.zeros(nlit, np.int64), md])
+    order = np.argsort(pos, kind="stable")
+    return pos[order] - off, ln[order], dist[order]
+
+
 class ZstdStreamEncoder:
     """Frame-level streaming encoder (hooks for the pipeline backend)."""
 
@@ -822,8 +857,15 @@ class ZstdStreamEncoder:
         if device_lz:
             from ..device_lz import DeviceTokenizer
 
+            # Tokenize 8 frame blocks per device call (one transfer round
+            # trip per MiB instead of per 128 KiB on the high-RTT link);
+            # compress_chunk slices the token cover per frame block.
+            # Matches stay within the window cap, so cross-frame-block
+            # distances remain legal zstd (the decoder's window spans
+            # blocks).
+            self.tokenizer_span = 8 * MAX_BLOCK
             self.tokenizer = DeviceTokenizer(
-                MAX_BLOCK, min((1 << window_log) - 1, MAX_BLOCK)
+                self.tokenizer_span, min((1 << window_log) - 1, MAX_BLOCK)
             )
         self.reset()
 
@@ -855,6 +897,25 @@ class ZstdStreamEncoder:
         if not data:
             # Empty final block (raw, size 0).
             out.extend(struct.pack("<I", 1 | (0 << 1) | 0)[:3])
+            return bytes(out)
+        if self.tokenizer is not None and len(data) > MAX_BLOCK:
+            # One device tokenizer call over the whole staged chunk, then
+            # one frame block per MAX_BLOCK slice of the token cover.
+            tok_pos, tok_len, tok_dist = self.tokenizer(data)
+            for off in range(0, len(data), MAX_BLOCK):
+                end = min(off + MAX_BLOCK, len(data))
+                sub = _slice_token_cover(tok_pos, tok_len, tok_dist, off, end)
+                blob = compress_block(
+                    data[off:end], self.parse_level,
+                    max_dist=min((1 << self.window_log) - 1, MAX_BLOCK),
+                    tokenizer=lambda d, s=sub: s,
+                    reuse=self._reuse,
+                    device_literals=self.device_literals,
+                    device_sequences=self.device_sequences,
+                )
+                if final and end >= len(data):
+                    blob = bytes([blob[0] | 1]) + blob[1:]
+                out.extend(blob)
             return bytes(out)
         if self.tokenizer is None and self.parse_level >= 12 and len(data) > 49152:
             from ..deflate.deflate_encode import find_matches_k

@@ -29,6 +29,11 @@ class ZstdEncoder(EncoderBackend):
             device_literals=getattr(self.options, "device_literals", False),
             device_sequences=getattr(self.options, "device_sequences", False),
         )
+        if self._stream.tokenizer is not None:
+            # Stage 8 frame blocks per device-tokenizer call: one transfer
+            # round trip per MiB instead of per 128 KiB (frame blocks stay
+            # <= MAX_BLOCK; compress_chunk slices the token cover).
+            self.block_size = self._stream.tokenizer_span
 
     def _header(self) -> bytes:
         return self._stream.header()
