@@ -380,11 +380,36 @@ def _host_encode_block(data: bytes, mode: ZlibMode) -> tuple[bytes, int]:
 
 def _host_inflate_block(blob: bytes, raw_len: int) -> bytes:
     """Host block decoder: raw deflate run ending in a sync flush. Uses the
-    native (C++) inflate when available, the pure-Python core otherwise."""
+    native (C++) inflate when available, the pure-Python core otherwise.
+
+    The native path is ONE ctypes call into the whole-block C decoder (the
+    GIL drops for the duration), so the scheduler's thread pool scales —
+    the streaming NativeInflate wrapper's Python-side staging serialized
+    most of each block under the GIL."""
+    import ctypes
+
     from ..formats.deflate.options import ZlibMode as _M
+    from ..runtime import native
 
     # Terminate the non-final run so the state machine reaches Finished.
-    payload = bytearray(blob) + bytearray([0x01, 0x00, 0x00, 0xFF, 0xFF])
+    payload = bytes(blob) + b"\x01\x00\x00\xff\xff"
+    lib = native._load()
+    if lib is not None and hasattr(lib, "compu_inflate_new"):
+        h = lib.compu_inflate_new()
+        try:
+            out = ctypes.create_string_buffer(raw_len + 8)
+            arr = (ctypes.c_ubyte * len(payload)).from_buffer_copy(payload)
+            consumed = ctypes.c_size_t(0)
+            written = ctypes.c_size_t(0)
+            st = lib.compu_inflate_run(
+                h, ctypes.cast(arr, ctypes.POINTER(ctypes.c_ubyte)),
+                len(payload), out, raw_len + 8,
+                ctypes.byref(consumed), ctypes.byref(written))
+            if st == 2 and written.value == raw_len:  # DONE
+                return out.raw[:raw_len]
+        finally:
+            lib.compu_inflate_free(h)
+        # fall through to the streaming wrapper on any anomaly
     try:
         from ..formats.deflate.native_inflate import (
             NativeInflate,
