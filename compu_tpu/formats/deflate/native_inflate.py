@@ -40,7 +40,7 @@ class NativeInflate:
     """Drop-in for :class:`Inflate` (same pump/sink/sink_budget protocol),
     raw-deflate decoding delegated to the native state machine."""
 
-    SCRATCH = 1 << 20  # per-run native output burst
+    SCRATCH = 4 << 20  # per-run native output burst
 
     def __init__(self, mode: ZlibMode = ZlibMode.Auto) -> None:
         self._lib = native._load()
@@ -50,6 +50,9 @@ class NativeInflate:
         self.sink = bytearray()
         self._handle = self._lib.compu_inflate_new()
         self._scratch = ctypes.create_string_buffer(self.SCRATCH)
+        # the C++ state machine folds the framing checksum over its output
+        # in-pass (compu_inflate_set_check) — one traversal instead of two
+        self._fused_check = hasattr(self._lib, "compu_inflate_set_check")
         self._reset_stream()
 
     def __del__(self):  # pragma: no cover - lifecycle
@@ -68,6 +71,8 @@ class NativeInflate:
         self.crc = 0
         self.out_count = 0
         self._lib.compu_inflate_reset(self._handle)
+        if self._fused_check:
+            self._lib.compu_inflate_set_check(self._handle, 0)
 
     # -- framing ------------------------------------------------------------
     def _parse_frame_header(self, staged) -> bool:
@@ -135,72 +140,163 @@ class NativeInflate:
                 if not self._parse_frame_header(staged):
                     return self.pos, False
                 self.phase = "deflate"
+                if self._fused_check:
+                    self._lib.compu_inflate_set_check(
+                        self._handle,
+                        {"zlib": 1, "gzip": 2}.get(self.framing, 0))
             if self.phase == "deflate":
                 if (self.sink_budget is not None
                         and len(self.sink) >= self.sink_budget):
                     return self.pos, False
-                # Bounded input view: a full bytes() of the remaining
-                # suffix would cost O(remaining) per ~1 MiB burst (O(n^2)
-                # total); a from_buffer zero-copy view pins the bytearray
-                # against the backend's extend/compact resizes. Capping the
-                # copy at 2x the scratch keeps total copying O(n) — a
-                # truncated view just reports NEED_INPUT at its end, which
-                # is a resumable state.
-                remaining = min(len(staged) - self.pos, 2 * self.SCRATCH)
-                view = bytes(memoryview(staged)[self.pos:self.pos + remaining])
-                arr = (ctypes.c_ubyte * remaining).from_buffer_copy(view) \
-                    if remaining else (ctypes.c_ubyte * 0)()
+                # ONE input copy per pump call (a zero-copy from_buffer view
+                # would pin the bytearray against the backend's compaction:
+                # ctypes releases exports only at gc time, not on del); all
+                # NEED_OUTPUT bursts drain against this same copy with the
+                # consumed offset advancing, so bytes are copied once, not
+                # once per burst.
+                remaining = len(staged) - self.pos
+                arr = ((ctypes.c_ubyte * remaining).from_buffer_copy(
+                    memoryview(staged)[self.pos:]) if remaining
+                    else (ctypes.c_ubyte * 0)())
+                off = 0
                 consumed = ctypes.c_size_t(0)
                 written = ctypes.c_size_t(0)
-                st = self._lib.compu_inflate_run(
-                    self._handle,
-                    ctypes.cast(arr, ctypes.POINTER(ctypes.c_ubyte)),
-                    remaining,
-                    self._scratch, self.SCRATCH,
-                    ctypes.byref(consumed), ctypes.byref(written),
-                )
-                if written.value:
-                    out = self._scratch.raw[: written.value]
-                    self.sink.extend(out)
-                    self.out_count += written.value
-                    if self.framing == "zlib":
-                        self.adler = checksum.adler32(out, self.adler)
-                    elif self.framing == "gzip":
-                        self.crc = checksum.crc32(out, self.crc)
-                self.pos += consumed.value
+                while True:
+                    st = self._lib.compu_inflate_run(
+                        self._handle,
+                        ctypes.cast(ctypes.byref(arr, off),
+                                    ctypes.POINTER(ctypes.c_ubyte)),
+                        remaining - off,
+                        self._scratch, self.SCRATCH,
+                        ctypes.byref(consumed), ctypes.byref(written),
+                    )
+                    if written.value:
+                        self.sink.extend(
+                            memoryview(self._scratch)[: written.value])
+                        self.out_count += written.value
+                        if not self._fused_check:
+                            out = memoryview(self._scratch)[: written.value]
+                            if self.framing == "zlib":
+                                self.adler = checksum.adler32(out, self.adler)
+                            elif self.framing == "gzip":
+                                self.crc = checksum.crc32(out, self.crc)
+                    off += consumed.value
+                    self.pos += consumed.value
+                    if st == _NEED_OUTPUT:
+                        continue  # scratch drained into sink; run again
+                    break
                 if st < 0:
                     code = _CPP_ERRORS.get(st, 105)
                     raise CodecFailure(code, ERRORS.get(code, "corrupt stream"))
                 if st == _DONE:
+                    if self._fused_check:
+                        chk = self._lib.compu_inflate_get_check(self._handle)
+                        if self.framing == "zlib":
+                            self.adler = chk
+                        elif self.framing == "gzip":
+                            self.crc = chk
                     self.phase = "trailer"
                     continue
-                if st == _NEED_OUTPUT:
-                    continue  # scratch drained into sink; run again
-                if remaining < len(staged) - self.pos and consumed.value:
-                    continue  # NEED_INPUT from the bounded view, not the stream
                 return self.pos, False  # NEED_INPUT
             if self.phase == "trailer":
-                avail = len(staged) - self.pos
-                if self.framing == "zlib":
-                    if avail < 4:
-                        return self.pos, False
-                    (want,) = struct.unpack_from(">I", bytes(staged[self.pos:self.pos + 4]))
-                    if want != self.adler & 0xFFFFFFFF:
-                        raise CodecFailure(ERR_CHECKSUM, ERRORS[ERR_CHECKSUM])
-                    self.pos += 4
-                elif self.framing == "gzip":
-                    if avail < 8:
-                        return self.pos, False
-                    want_crc, want_len = struct.unpack_from(
-                        "<II", bytes(staged[self.pos:self.pos + 8])
-                    )
-                    if want_crc != self.crc & 0xFFFFFFFF:
-                        raise CodecFailure(ERR_CHECKSUM, ERRORS[ERR_CHECKSUM])
-                    if want_len != self.out_count & 0xFFFFFFFF:
-                        raise CodecFailure(
-                            ERR_LENGTH_MISMATCH, ERRORS[ERR_LENGTH_MISMATCH]
-                        )
-                    self.pos += 8
+                took = self._check_trailer(staged, self.pos)
+                if took is None:
+                    return self.pos, False
+                self.pos += took
                 self.phase = "done"
             if self.phase == "done":
                 return self.pos, True
+
+    def _check_trailer(self, buf, off: int):
+        """Verify the frame trailer at ``buf[off:]``. Returns the trailer
+        byte count, or None when more input is needed; raises CodecFailure
+        on checksum/length mismatch."""
+        avail = len(buf) - off
+        if self.framing == "zlib":
+            if avail < 4:
+                return None
+            (want,) = struct.unpack_from(">I", bytes(buf[off:off + 4]))
+            if want != self.adler & 0xFFFFFFFF:
+                raise CodecFailure(ERR_CHECKSUM, ERRORS[ERR_CHECKSUM])
+            return 4
+        if self.framing == "gzip":
+            if avail < 8:
+                return None
+            want_crc, want_len = struct.unpack_from(
+                "<II", bytes(buf[off:off + 8]))
+            if want_crc != self.crc & 0xFFFFFFFF:
+                raise CodecFailure(ERR_CHECKSUM, ERRORS[ERR_CHECKSUM])
+            if want_len != self.out_count & 0xFFFFFFFF:
+                raise CodecFailure(
+                    ERR_LENGTH_MISMATCH, ERRORS[ERR_LENGTH_MISMATCH])
+            return 8
+        return 0  # raw deflate: no trailer
+
+    # -- zero-copy direct path -------------------------------------------------
+    def run_direct(self, inp, out):
+        """One-call fast path: decode straight from the caller's input view
+        into the caller's output view — no staging, no scratch, no sink
+        (the reference's "API never allocates" discipline, lib.rs:45, at
+        native speed). Returns (consumed, written, finished, need_output)
+        or None when this stream state can't engage (mid-header without
+        enough bytes falls back to the staged path only when input could
+        still be partial). C++ keeps the bit-level token state, so calls
+        chain: NEED_OUTPUT leaves the tail unconsumed for a re-feed."""
+        import numpy as _np
+
+        if not self._fused_check or self.phase == "done":
+            return None
+        off = 0
+        if self.phase == "frame_header":
+            self.pos = 0
+            if not self._parse_frame_header(inp):
+                return None  # partial header: let the staged path buffer it
+            off = self.pos
+            self.pos = 0
+            self.phase = "deflate"
+            self._lib.compu_inflate_set_check(
+                self._handle, {"zlib": 1, "gzip": 2}.get(self.framing, 0))
+        written = 0
+        need_output = False
+        if self.phase == "deflate":
+            n_in = len(inp) - off
+            in_arr = _np.frombuffer(inp, dtype=_np.uint8) if len(inp) else None
+            out_arr = (_np.frombuffer(out, dtype=_np.uint8) if len(out)
+                       else None)
+            in_ptr = (in_arr.__array_interface__["data"][0] + off
+                      if in_arr is not None else 0)
+            out_ptr = (out_arr.__array_interface__["data"][0]
+                       if out_arr is not None else 0)
+            consumed = ctypes.c_size_t(0)
+            got = ctypes.c_size_t(0)
+            st = self._lib.compu_inflate_run(
+                self._handle,
+                ctypes.cast(ctypes.c_void_p(in_ptr),
+                            ctypes.POINTER(ctypes.c_ubyte)),
+                n_in,
+                ctypes.c_void_p(out_ptr), len(out),
+                ctypes.byref(consumed), ctypes.byref(got),
+            )
+            del in_arr, out_arr
+            off += consumed.value
+            written = got.value
+            self.out_count += written
+            if st < 0:
+                code = _CPP_ERRORS.get(st, 105)
+                raise CodecFailure(code, ERRORS.get(code, "corrupt stream"))
+            if st == _DONE:
+                chk = self._lib.compu_inflate_get_check(self._handle)
+                if self.framing == "zlib":
+                    self.adler = chk
+                elif self.framing == "gzip":
+                    self.crc = chk
+                self.phase = "trailer"
+            elif st == _NEED_OUTPUT:
+                need_output = True
+        if self.phase == "trailer":
+            took = self._check_trailer(inp, off)
+            if took is not None:
+                off += took
+                self.phase = "done"
+                return off, written, True, False
+        return off, written, self.phase == "done", need_output

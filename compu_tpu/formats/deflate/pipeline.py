@@ -11,6 +11,7 @@ from __future__ import annotations
 import struct
 
 from ...ops import checksum
+from ...status import DecodeStatus
 from ..base import CodecFailure, DecoderBackend, EncoderBackend
 from .deflate_encode import DeflateStream
 from .inflate import ERRORS, Inflate
@@ -278,6 +279,29 @@ class NativeDeflateDecoder(DeflateDecoder):
 
     def _rebase_input(self, nbytes: int) -> None:
         self._inflate.pos -= nbytes
+
+    def _decode_direct(self, inp, out):
+        """Zero-copy fast path (base.py hook): stream caller bytes straight
+        through the C++ state machine into the caller's buffer. A partial-
+        token tail on NeedInput is staged so chunk-fed callers keep the
+        consumed-everything behavior of the buffered path."""
+        res = self._inflate.run_direct(inp, out)
+        if res is None:
+            return None
+        consumed, written, finished, need_output = res
+        if finished:
+            self._finished = True
+            self._pending = bytearray()
+            self._pending_pos = 0
+            return consumed, written, DecodeStatus.Finished
+        if need_output:
+            return consumed, written, DecodeStatus.NeedOutput
+        if consumed < len(inp):  # partial token tail: stage it
+            self._staged = bytearray(inp[consumed:])
+            self._staged_pos = 0
+            self._inflate.pos = 0
+            consumed = len(inp)
+        return consumed, written, DecodeStatus.NeedInput
 
     def _do_reset(self) -> None:
         self._inflate._reset_stream()

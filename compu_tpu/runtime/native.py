@@ -222,6 +222,11 @@ def _load():
                     ctypes.POINTER(ctypes.c_size_t),
                     ctypes.POINTER(ctypes.c_size_t),
                 ]
+                if hasattr(lib, "compu_inflate_set_check"):
+                    lib.compu_inflate_set_check.argtypes = [
+                        ctypes.c_void_p, ctypes.c_int]
+                    lib.compu_inflate_get_check.restype = ctypes.c_uint32
+                    lib.compu_inflate_get_check.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib = None

@@ -21,9 +21,10 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// crc32 (gzip polynomial, slice-by-8)
+// crc32 (gzip polynomial, slice-by-16: two independent 8-byte streams per
+// iteration break the per-load table-lookup dependency chain)
 // ---------------------------------------------------------------------------
-static uint32_t g_crc_tables[8][256];
+static uint32_t g_crc_tables[16][256];
 static bool g_crc_init = false;
 
 static void crc_init() {
@@ -32,7 +33,7 @@ static void crc_init() {
         for (int k = 0; k < 8; k++) c = (c >> 1) ^ (0xEDB88320u & (0u - (c & 1)));
         g_crc_tables[0][i] = c;
     }
-    for (int t = 1; t < 8; t++)
+    for (int t = 1; t < 16; t++)
         for (uint32_t i = 0; i < 256; i++) {
             uint32_t c = g_crc_tables[t - 1][i];
             g_crc_tables[t][i] = g_crc_tables[0][c & 0xFF] ^ (c >> 8);
@@ -47,23 +48,29 @@ uint32_t compu_crc32(const uint8_t* data, size_t n, uint32_t crc) {
         crc = g_crc_tables[0][(crc ^ *data++) & 0xFF] ^ (crc >> 8);
         n--;
     }
-    while (n >= 8) {
-        uint64_t w;
-        memcpy(&w, data, 8);
-        w ^= crc;  // low 4 bytes fold in the register
-        crc = g_crc_tables[7][w & 0xFF] ^ g_crc_tables[6][(w >> 8) & 0xFF] ^
-              g_crc_tables[5][(w >> 16) & 0xFF] ^ g_crc_tables[4][(w >> 24) & 0xFF] ^
-              g_crc_tables[3][(w >> 32) & 0xFF] ^ g_crc_tables[2][(w >> 40) & 0xFF] ^
-              g_crc_tables[1][(w >> 48) & 0xFF] ^ g_crc_tables[0][(w >> 56) & 0xFF];
-        data += 8;
-        n -= 8;
+    while (n >= 16) {
+        uint64_t w1, w2;
+        memcpy(&w1, data, 8);
+        memcpy(&w2, data + 8, 8);
+        w1 ^= crc;  // low 4 bytes fold in the register
+        crc = g_crc_tables[15][w1 & 0xFF] ^ g_crc_tables[14][(w1 >> 8) & 0xFF] ^
+              g_crc_tables[13][(w1 >> 16) & 0xFF] ^ g_crc_tables[12][(w1 >> 24) & 0xFF] ^
+              g_crc_tables[11][(w1 >> 32) & 0xFF] ^ g_crc_tables[10][(w1 >> 40) & 0xFF] ^
+              g_crc_tables[9][(w1 >> 48) & 0xFF] ^ g_crc_tables[8][(w1 >> 56) & 0xFF] ^
+              g_crc_tables[7][w2 & 0xFF] ^ g_crc_tables[6][(w2 >> 8) & 0xFF] ^
+              g_crc_tables[5][(w2 >> 16) & 0xFF] ^ g_crc_tables[4][(w2 >> 24) & 0xFF] ^
+              g_crc_tables[3][(w2 >> 32) & 0xFF] ^ g_crc_tables[2][(w2 >> 40) & 0xFF] ^
+              g_crc_tables[1][(w2 >> 48) & 0xFF] ^ g_crc_tables[0][(w2 >> 56) & 0xFF];
+        data += 16;
+        n -= 16;
     }
     while (n--) crc = g_crc_tables[0][(crc ^ *data++) & 0xFF] ^ (crc >> 8);
     return ~crc;
 }
 
 // ---------------------------------------------------------------------------
-// adler32
+// adler32 (16-lane inner step: the b accumulation becomes a weighted dot
+// product the compiler can vectorize, instead of a serial a/b chain)
 // ---------------------------------------------------------------------------
 uint32_t compu_adler32(const uint8_t* data, size_t n, uint32_t adler) {
     const uint32_t MOD = 65521;
@@ -71,6 +78,17 @@ uint32_t compu_adler32(const uint8_t* data, size_t n, uint32_t adler) {
     while (n) {
         size_t chunk = n > 5552 ? 5552 : n;  // max bytes before overflow
         n -= chunk;
+        while (chunk >= 16) {
+            uint32_t s = 0, w = 0;
+            for (int j = 0; j < 16; j++) {
+                s += data[j];
+                w += (uint32_t)(16 - j) * data[j];
+            }
+            b += 16 * a + w;
+            a += s;
+            data += 16;
+            chunk -= 16;
+        }
         for (size_t i = 0; i < chunk; i++) {
             a += data[i];
             b += a;

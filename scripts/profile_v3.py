@@ -16,6 +16,7 @@ pipeline (encode_blocks_dyn's exact structure) and differenced:
   full       : + emit (the complete encode_blocks_dyn)
 """
 import functools
+import os
 import sys
 import time
 
@@ -30,8 +31,8 @@ from compu_tpu.kernels import deflate_jax_v2 as v2  # noqa: E402
 
 BLOCK = 1 << 18
 B = 16
-DEPTH = 8
-WCAP = v2.WCAP
+DEPTH = int(os.environ.get("PROF_DEPTH", "8"))
+WCAP = int(os.environ.get("PROF_WCAP", str(v2.WCAP)))
 corpus = build_corpus(B * BLOCK)
 blocks = np.frombuffer(corpus, dtype=np.uint8).reshape(B, BLOCK)
 lens_dev = jnp.full(B, BLOCK, jnp.int32)
@@ -76,17 +77,17 @@ def probe_cand(data_b):
 
 
 def probe_post(data_b):
-    step_arr, bl, bd, in_range = _post(data_b)
+    step_arr, bl, bd, in_range, uncl = _post(data_b)
     return step_arr[:, 0] ^ bl[:, 0] ^ bd[:, 0]
 
 
 def probe_cover(data_b):
-    is_tok, bl, bd = v2.match_and_parse_batch(data_b, lens_dev, depth=DEPTH)
+    is_tok, bl, bd = v2.match_and_parse_batch(data_b, lens_dev, depth=DEPTH, wcap=WCAP)
     return jnp.sum(is_tok, axis=1).astype(jnp.int32) ^ bl[:, 0]
 
 
 def probe_tok_hist(data_b):
-    is_tok, bl, bd = v2.match_and_parse_batch(data_b, lens_dev, depth=DEPTH)
+    is_tok, bl, bd = v2.match_and_parse_batch(data_b, lens_dev, depth=DEPTH, wcap=WCAP)
 
     def stage1(data, n, t, l, d):
         tok, lf, df, xl, xd = v3._tok_hist_from_match(data, n, t, l, d)
@@ -97,7 +98,7 @@ def probe_tok_hist(data_b):
 
 
 def probe_tables(data_b):
-    is_tok, bl, bd = v2.match_and_parse_batch(data_b, lens_dev, depth=DEPTH)
+    is_tok, bl, bd = v2.match_and_parse_batch(data_b, lens_dev, depth=DEPTH, wcap=WCAP)
     tok, lf, df, xl, xd = jax.vmap(v3._tok_hist_from_match)(
         data_b, lens_dev, is_tok, bl, bd)
     tables = jax.vmap(v3._build_tables)(lf, df, xl, xd, lens_dev)
@@ -106,7 +107,7 @@ def probe_tables(data_b):
 
 
 def probe_full(data_b):
-    _, metas = v3.encode_blocks_dyn(data_b, lens_dev, depth=DEPTH, cap=cap)
+    _, metas = v3.encode_blocks_dyn(data_b, lens_dev, depth=DEPTH, cap=cap, wcap=WCAP)
     return metas[:, 0] ^ metas[:, 1]
 
 
