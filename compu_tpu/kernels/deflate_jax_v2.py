@@ -133,7 +133,7 @@ def _fixed_fields(data, mlen, dclip, is_match_tok, is_lit):
     return f0_val, f0_bits, f1_val, f1_bits
 
 
-def parse_cover_mxu(step_arr: jnp.ndarray) -> jnp.ndarray:
+def parse_cover_mxu(step_arr: jnp.ndarray, seg: int = SEG) -> jnp.ndarray:
     """Exact greedy token cover (segment-local) by one-hot matrix squaring
     on the MXU. ``step_arr[i]`` is the greedy parser's advance at position
     i (match length or 1), already clipped so no step crosses a SEG
@@ -154,14 +154,14 @@ def parse_cover_mxu(step_arr: jnp.ndarray) -> jnp.ndarray:
     """
     N = step_arr.shape[0]
     pos = jnp.arange(N, dtype=jnp.int32)
-    S = N // SEG
-    local = pos & (SEG - 1)
-    nxt_local = jnp.minimum(local + jnp.maximum(step_arr, 1), SEG)
-    nl = nxt_local.reshape(S, SEG)
-    cols = jnp.arange(SEG, dtype=jnp.int32)
+    S = N // seg
+    local = pos & (seg - 1)
+    nxt_local = jnp.minimum(local + jnp.maximum(step_arr, 1), seg)
+    nl = nxt_local.reshape(S, seg)
+    cols = jnp.arange(seg, dtype=jnp.int32)
     jmat = (nl[:, :, None] == cols[None, None, :]).astype(jnp.bfloat16)
-    reach = jnp.zeros((S, 1, SEG), dtype=jnp.float32).at[:, 0, 0].set(1.0)
-    iters = int(np.ceil(np.log2(SEG)))
+    reach = jnp.zeros((S, 1, seg), dtype=jnp.float32).at[:, 0, 0].set(1.0)
+    iters = int(np.ceil(np.log2(seg)))
     for it in range(iters):
         hop = jnp.einsum(
             "sij,sjk->sik", reach.astype(jnp.bfloat16), jmat,
@@ -213,7 +213,8 @@ def _candidates_xla(hs, ps, sw, *, depth, max_dist, wcap):
     return best_len_s, best_dist_s
 
 
-def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap):
+def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap,
+                seg: int = SEG):
     """Per-block: sort-back + chain/run extension + heuristics
     (vmappable). Returns (step_arr, best_len, best_dist, in_range)."""
     N = data.shape[0]
@@ -264,7 +265,7 @@ def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap):
     # even when that token's matcher chose a different distance.
     uncl_len = best_len
     # clip to segment end (the greedy cover is segment-local)
-    seg_rem = SEG - (pos_all & (SEG - 1))
+    seg_rem = seg - (pos_all & (seg - 1))
     best_len = jnp.minimum(best_len, seg_rem)
     best_len = jnp.where(in_range, best_len, 0)
     drop = (best_len == consts.MIN_MATCH) & (best_dist > 4096)
@@ -277,7 +278,7 @@ def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap):
 
 
 def _merge_seg_boundaries(is_tok, best_len, best_dist, n, uncl_len=None,
-                          max_len: int = consts.MAX_MATCH):
+                          max_len: int = consts.MAX_MATCH, seg: int = SEG):
     """Post-cover merge of same-distance matches across SEG boundaries.
 
     The exact greedy cover clips every match at its segment end (a match
@@ -302,19 +303,19 @@ def _merge_seg_boundaries(is_tok, best_len, best_dist, n, uncl_len=None,
     All dense (S,)-shaped ops — vmappable, single block. Returns updated
     (is_tok, best_len)."""
     N = is_tok.shape[0]
-    S = N // SEG
+    S = N // seg
     pos = jnp.arange(N, dtype=jnp.int32)
-    seg_rem = SEG - (pos & (SEG - 1))
-    tl = jnp.where(is_tok, best_len, 0).reshape(S, SEG)
-    td = jnp.where(is_tok, best_dist, 0).reshape(S, SEG)
+    seg_rem = seg - (pos & (seg - 1))
+    tl = jnp.where(is_tok, best_len, 0).reshape(S, seg)
+    td = jnp.where(is_tok, best_dist, 0).reshape(S, seg)
     # segment b-1's boundary-ending match (unique per row: coverage is
     # disjoint and only the final token can end on the boundary)
-    ends = (tl >= consts.MIN_MATCH) & (tl == seg_rem.reshape(S, SEG))
+    ends = (tl >= consts.MIN_MATCH) & (tl == seg_rem.reshape(S, seg))
     len_end = jnp.sum(jnp.where(ends, tl, 0), axis=1)
     dist_end = jnp.sum(jnp.where(ends, td, 0), axis=1)
     has_end = jnp.any(ends, axis=1)
     # segment b's first token (coverage 1 for a literal)
-    first_tok = is_tok.reshape(S, SEG)[:, 0]
+    first_tok = is_tok.reshape(S, seg)[:, 0]
     first_len = tl[:, 0]
     first_dist = td[:, 0]
     first_match = first_tok & (first_len >= consts.MIN_MATCH)
@@ -329,7 +330,7 @@ def _merge_seg_boundaries(is_tok, best_len, best_dist, n, uncl_len=None,
     same_dist = (first_match[1:] & (dist_end[:-1] == first_dist[1:])
                  & (len_end[:-1] + first_len[1:] <= max_len))
     if uncl_len is not None:
-        un = jnp.where(is_tok, uncl_len, 0).reshape(S, SEG)
+        un = jnp.where(is_tok, uncl_len, 0).reshape(S, seg)
         uncl_end = jnp.sum(jnp.where(ends, un, 0), axis=1)
         absorb = (first_tok[1:] & (first_cover[1:] > 0)
                   & (uncl_end[:-1] >= len_end[:-1] + first_cover[1:])
@@ -339,7 +340,7 @@ def _merge_seg_boundaries(is_tok, best_len, best_dist, n, uncl_len=None,
     linked = jnp.concatenate([
         jnp.zeros(1, bool),
         (has_end[:-1] & (same_dist | absorb)
-         & (jnp.arange(1, S) * SEG < n)),
+         & (jnp.arange(1, S) * seg < n)),
     ])
     # run position within each chain of consecutive linked boundaries
     # (log-doubling run length ending at b); merge odd positions only so
@@ -356,7 +357,7 @@ def _merge_seg_boundaries(is_tok, best_len, best_dist, n, uncl_len=None,
                            jnp.zeros(1, jnp.int32)])  # per row b-1
     new_tl = jnp.where(ends & (add[:, None] > 0), tl + add[:, None], tl)
     best_len = jnp.where(is_tok, new_tl.reshape(N), best_len)
-    drop_first = jnp.zeros((S, SEG), bool).at[:, 0].set(merge)
+    drop_first = jnp.zeros((S, seg), bool).at[:, 0].set(merge)
     is_tok = is_tok & ~drop_first.reshape(N)
     return is_tok, best_len
 
@@ -389,22 +390,39 @@ def _use_pallas_match(N: int, depth: int) -> bool:
     return N % _MATCH_CHUNK == 0 and depth < 128
 
 
-def _cover(step_flat: jnp.ndarray) -> jnp.ndarray:
+def _cover(step_flat: jnp.ndarray, seg: int = SEG) -> jnp.ndarray:
     """Exact greedy cover over a flat (possibly multi-block) step array —
     segments never cross block boundaries, so blocks concatenate freely.
     Pallas (VMEM-resident squaring) on TPU; the XLA einsum form is the CPU
     fallback and the COMPU_PARSE=einsum A/B switch."""
     if (jax.default_backend() == "cpu"
             or os.environ.get("COMPU_PARSE") == "einsum"):
-        return parse_cover_mxu(step_flat)
+        return parse_cover_mxu(step_flat, seg)
     from .parse_pallas import parse_cover_pallas
 
-    return parse_cover_pallas(step_flat)
+    return parse_cover_pallas(step_flat, seg=seg)
+
+
+def _lcp_candidates(sorted_ops, *, depth: int, max_dist: int,
+                    block_elems: int):
+    """LCP candidate stage dispatch: Pallas on TPU, XLA elsewhere."""
+    from .lcp_match import C as _LCP_CHUNK
+    from .lcp_match import lcp_candidates_pallas, lcp_candidates_xla
+
+    N = sorted_ops[-1].shape[0]
+    if (jax.default_backend() == "cpu"
+            or os.environ.get("COMPU_MATCH") == "xla"
+            or N % _LCP_CHUNK or block_elems % _LCP_CHUNK):
+        return lcp_candidates_xla(sorted_ops, depth=depth, max_dist=max_dist,
+                                  block_elems=block_elems)
+    return lcp_candidates_pallas(sorted_ops, depth=depth, max_dist=max_dist,
+                                 block_elems=block_elems)
 
 
 def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                     max_dist: int = consts.WINDOW_SIZE, max_len: int = consts.MAX_MATCH,
-                    clip_seg: bool = True, wcap: int = WCAP):
+                    clip_seg: bool = True, wcap: int = WCAP,
+                    matcher: str = "lex", cover_seg: int = SEG):
     """Shared device LZ stage (single block): sort-carried matching +
     chain/run extension + exact greedy cover. Returns (is_tok bool[N],
     best_len i32[N], best_dist i32[N]) — the token cover all three formats
@@ -422,25 +440,36 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     (cover_overflow) alongside the bit offsets. ``clip_seg`` is accepted
     for call-site documentation; both values produce the merged cover."""
     N = data.shape[0]
-    sorted_ops = _sort_stage(data, n, wcap=wcap)
-    hs, ps = sorted_ops[0], sorted_ops[1]
-    sw = sorted_ops[2:]
-    if _use_pallas_match(N, depth):
-        from .match_pallas import match_candidates_pallas
+    if matcher == "lex":
+        from .lcp_match import sort_stage_lex
 
-        best_len_s, best_dist_s = match_candidates_pallas(
-            hs, ps, tuple(sw), depth=depth, max_dist=max_dist, block_elems=N
-        )
+        sorted_ops = sort_stage_lex(data, n, wcap=wcap)
+        ps = sorted_ops[-1]
+        best_len_s, best_dist_s = _lcp_candidates(
+            sorted_ops, depth=depth, max_dist=max_dist, block_elems=N)
     else:
-        best_len_s, best_dist_s = _candidates_xla(
-            hs, ps, sw, depth=depth, max_dist=max_dist, wcap=wcap
-        )
+        sorted_ops = _sort_stage(data, n, wcap=wcap)
+        hs, ps = sorted_ops[0], sorted_ops[1]
+        sw = sorted_ops[2:]
+        if _use_pallas_match(N, depth):
+            from .match_pallas import match_candidates_pallas
+
+            best_len_s, best_dist_s = match_candidates_pallas(
+                hs, ps, tuple(sw), depth=depth, max_dist=max_dist,
+                block_elems=N
+            )
+        else:
+            best_len_s, best_dist_s = _candidates_xla(
+                hs, ps, sw, depth=depth, max_dist=max_dist, wcap=wcap
+            )
     step_arr, best_len, best_dist, in_range, uncl = _post_match(
-        data, n, ps, best_len_s, best_dist_s, max_len=max_len, wcap=wcap
+        data, n, ps, best_len_s, best_dist_s, max_len=max_len, wcap=wcap,
+        seg=cover_seg,
     )
-    is_tok = _cover(step_arr) & in_range
+    is_tok = _cover(step_arr, cover_seg) & in_range
     is_tok, best_len = _merge_seg_boundaries(is_tok, best_len, best_dist, n,
-                                             uncl, max_len=max_len)
+                                             uncl, max_len=max_len,
+                                             seg=cover_seg)
     return is_tok, best_len, best_dist
 
 
@@ -448,37 +477,52 @@ def match_and_parse_batch(datas: jnp.ndarray, ns: jnp.ndarray, *,
                           depth: int = 8,
                           max_dist: int = consts.WINDOW_SIZE,
                           max_len: int = consts.MAX_MATCH,
-                          clip_seg: bool = True, wcap: int = WCAP):
+                          clip_seg: bool = True, wcap: int = WCAP,
+                          matcher: str = "lex", cover_seg: int = SEG):
     """match_and_parse over a (B, N) block matrix. The elementwise stages
     vmap; the Pallas matcher and cover run ONCE over the flattened batch
     (vmap of ANY-memory-space pallas_call is unsupported, and one flat
     call is better anyway — per-block masking uses the static block
     size)."""
     B, N = datas.shape
-    sort_fn = functools.partial(_sort_stage, wcap=wcap)
-    sorted_ops = jax.vmap(sort_fn)(datas, ns)
-    hs, ps = sorted_ops[0], sorted_ops[1]
-    sw = sorted_ops[2:]
-    if _use_pallas_match(N, depth):
-        from .match_pallas import match_candidates_pallas
+    if matcher == "lex":
+        from .lcp_match import sort_stage_lex
 
-        bl_f, bd_f = match_candidates_pallas(
-            hs.reshape(-1), ps.reshape(-1),
-            tuple(w.reshape(-1) for w in sw),
-            depth=depth, max_dist=max_dist, block_elems=N,
-        )
+        sort_fn = functools.partial(sort_stage_lex, wcap=wcap)
+        sorted_ops = jax.vmap(sort_fn)(datas, ns)
+        ps = sorted_ops[-1]
+        bl_f, bd_f = _lcp_candidates(
+            tuple(w.reshape(-1) for w in sorted_ops),
+            depth=depth, max_dist=max_dist, block_elems=N)
         best_len_s = bl_f.reshape(B, N)
         best_dist_s = bd_f.reshape(B, N)
     else:
-        cand_fn = functools.partial(
-            _candidates_xla, depth=depth, max_dist=max_dist, wcap=wcap)
-        best_len_s, best_dist_s = jax.vmap(cand_fn)(hs, ps, sw)
-    post_fn = functools.partial(_post_match, max_len=max_len, wcap=wcap)
+        sort_fn = functools.partial(_sort_stage, wcap=wcap)
+        sorted_ops = jax.vmap(sort_fn)(datas, ns)
+        hs, ps = sorted_ops[0], sorted_ops[1]
+        sw = sorted_ops[2:]
+        if _use_pallas_match(N, depth):
+            from .match_pallas import match_candidates_pallas
+
+            bl_f, bd_f = match_candidates_pallas(
+                hs.reshape(-1), ps.reshape(-1),
+                tuple(w.reshape(-1) for w in sw),
+                depth=depth, max_dist=max_dist, block_elems=N,
+            )
+            best_len_s = bl_f.reshape(B, N)
+            best_dist_s = bd_f.reshape(B, N)
+        else:
+            cand_fn = functools.partial(
+                _candidates_xla, depth=depth, max_dist=max_dist, wcap=wcap)
+            best_len_s, best_dist_s = jax.vmap(cand_fn)(hs, ps, sw)
+    post_fn = functools.partial(_post_match, max_len=max_len, wcap=wcap,
+                                seg=cover_seg)
     step_arr, best_len, best_dist, in_range, uncl = jax.vmap(post_fn)(
         datas, ns, ps, best_len_s, best_dist_s
     )
-    is_tok = _cover(step_arr.reshape(-1)).reshape(B, N) & in_range
-    merge_fn = functools.partial(_merge_seg_boundaries, max_len=max_len)
+    is_tok = _cover(step_arr.reshape(-1), cover_seg).reshape(B, N) & in_range
+    merge_fn = functools.partial(_merge_seg_boundaries, max_len=max_len,
+                                 seg=cover_seg)
     is_tok, best_len = jax.vmap(merge_fn)(is_tok, best_len, best_dist, ns,
                                           uncl)
     return is_tok, best_len, best_dist

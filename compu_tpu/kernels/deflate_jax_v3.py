@@ -40,6 +40,7 @@ zlib's compress_block cost comparison.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -250,10 +251,12 @@ def _hist_mxu(sym: jnp.ndarray, mask: jnp.ndarray, nbins: int) -> jnp.ndarray:
     return h2.reshape(-1)[:nbins].astype(jnp.int32)
 
 
-def _tokens_and_hist(data, n, *, depth, clip_seg=False, wcap=32):
+def _tokens_and_hist(data, n, *, depth, clip_seg=False, wcap=32,
+                     matcher="lex", cover_seg=SEG):
     """Stage 1: LZ tokens + per-block symbol histograms (device)."""
     is_tok, best_len, best_dist = match_and_parse(
-        data, n, depth=depth, clip_seg=clip_seg, wcap=wcap
+        data, n, depth=depth, clip_seg=clip_seg, wcap=wcap, matcher=matcher,
+        cover_seg=cover_seg,
     )
     return _tok_hist_from_match(data, n, is_tok, best_len, best_dist)
 
@@ -468,33 +471,22 @@ def _emit(data, n, tok, tables, *, cap, with_index):
     bytep = jnp.clip((floc >> 3) + fine[:, None], 0, W2 - 1)   # (S, 2*SEG)
 
     # --- q/r-split one-hot pack on the MXU -----------------------------------
-    # A byte position p < 512 factors as (q, r) = (p >> 4, p & 15); the
-    # packed rows come from ONE einsum contracting two narrow one-hots
-    # (32-wide q; 16-wide r crossed with the 4 byte-lane values) instead
-    # of a 512-wide one-hot or full-buffer scatter-adds (512K-update
-    # scatters measured ~2-10 ms each on TPU). Byte values <= 255 are
+    # A byte position p < 512 factors as (q, r') = (p >> 4, (p & 15) + lane);
+    # the packed tiles come from ONE contraction of two narrow one-hots.
+    # The Pallas kernel (emit_pallas.py) builds both one-hots in VMEM —
+    # the XLA einsum form materializes ~1.5 GB of one-hot factors through
+    # HBM per 16-block batch and measured ~3.9 ms. Byte values <= 255 are
     # exact in bf16; per-byte sums <= 255 (bit-disjoint) are exact in f32.
-    qv = bytep >> 4
-    rv = bytep & 15
-    a = (qv[:, :, None]
-         == jax.lax.broadcasted_iota(jnp.int32, (S, 2 * SEG, W2 // 16), 2)
-         ).astype(jnp.bfloat16)                                # (S, 2*SEG, 32)
-    val4 = jnp.stack(
-        [((shifted >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
-         for k in range(4)],
-        axis=-1,
-    )                                                          # (S, 2*SEG, 4)
-    b = ((rv[:, :, None]
-          == jax.lax.broadcasted_iota(jnp.int32, (S, 2 * SEG, 16), 2)
-          ).astype(jnp.bfloat16)[:, :, :, None] * val4[:, :, None, :]
-         ).reshape(S, 2 * SEG, 64)                             # r one-hot x lanes
-    out1 = jnp.einsum(
-        "sfq,sfv->sqv", a, b, preferred_element_type=jnp.float32
-    ).astype(jnp.int32)                                        # (S, 32, 64)
-    out4 = out1.reshape(S, W2 // 16, 16, 4).reshape(S, W2, 4)
-    row = out4[:, :, 0]
-    for k in range(1, 4):
-        row = row + jnp.pad(out4[:, : W2 - k, k], ((0, 0), (k, 0)))
+    from .emit_pallas import emit_pack_pallas, emit_pack_xla, rows_from_tiles
+
+    use_pallas = (jax.default_backend() != "cpu"
+                  and os.environ.get("COMPU_EMIT") != "xla"
+                  and SEG == 128 and S % 8 == 0)
+    if use_pallas:
+        tiles = emit_pack_pallas(bytep, shifted)
+    else:
+        tiles = emit_pack_xla(bytep, shifted)
+    row = rows_from_tiles(tiles)
 
     # --- shift rows to their global bit phase --------------------------------
     rphase = (seg_bit0 & 7)[:, None]
@@ -602,10 +594,12 @@ def _block_checksum(data, n, check):
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "cap", "with_index",
-                                              "check", "wcap"))
+                                              "check", "wcap", "matcher",
+                                              "cover_seg"))
 def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
                       cap: int = 0, with_index: bool = False,
-                      check: str = "adler", wcap: int = 32):
+                      check: str = "adler", wcap: int = 32,
+                      matcher: str = "lex", cover_seg: int = SEG):
     """Batched v3 encode over a (B, N) block matrix — the throughput path.
 
     Stage split matters on TPU: the token scan and the bit-pack lax.map
@@ -622,7 +616,8 @@ def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
     # the flattened batch; vmap of ANY-memory-space pallas_call is
     # unsupported); the elementwise token/histogram stage vmaps.
     is_tok_b, bl_b, bd_b = match_and_parse_batch(
-        blocks, lens, depth=depth, clip_seg=with_index, wcap=wcap
+        blocks, lens, depth=depth, clip_seg=with_index, wcap=wcap,
+        matcher=matcher, cover_seg=cover_seg,
     )
 
     def stage1(data, n, is_tok, best_len, best_dist):
@@ -652,10 +647,12 @@ def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "cap", "with_index",
-                                              "check", "wcap"))
+                                              "check", "wcap", "matcher",
+                                              "cover_seg"))
 def encode_block_dyn(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                      cap: int = 0, with_index: bool = False,
-                     check: str = "adler", wcap: int = 32):
+                     check: str = "adler", wcap: int = 32,
+                     matcher: str = "lex", cover_seg: int = SEG):
     """v3 block encode (single block). Returns (out_u8[cap], meta_i32[2])
     (+ seg_bits with ``with_index``), same contract as v2's
     encode_block_fixed_v2."""
@@ -663,7 +660,8 @@ def encode_block_dyn(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     if cap == 0:
         cap = N + N // 4 + 64
     tok, lit_freq, dist_freq, xl, xd = _tokens_and_hist(
-        data, n, depth=depth, clip_seg=with_index, wcap=wcap
+        data, n, depth=depth, clip_seg=with_index, wcap=wcap, matcher=matcher,
+        cover_seg=cover_seg,
     )
     tables = _build_tables(lit_freq, dist_freq, xl, xd, n)
     res = _emit(data, n, tok, tables, cap=cap, with_index=with_index)
