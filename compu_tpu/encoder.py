@@ -156,6 +156,17 @@ class Interface:
         return Encoder(pipeline.ZstdEncoder(options))
 
     @staticmethod
+    def brotli_native(options=None) -> Encoder:
+        """Second complete brotli encoder implementation (standalone C++:
+        csrc/compu_brotli_enc2.cpp) behind the same Interface — the
+        reference's dual-brotli-encoder pattern
+        (src/encoder/brotli_c.rs:42-50 vs src/encoder/brotli.rs:22-29).
+        Raises if the native runtime is unavailable."""
+        from .formats.brotli import pipeline
+
+        return Encoder(pipeline.NativeBrotliEncoder(options))
+
+    @staticmethod
     def brotli(options=None) -> Encoder:
         from .formats.brotli import pipeline
 

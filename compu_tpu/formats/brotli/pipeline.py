@@ -47,6 +47,32 @@ class BrotliEncoder(EncoderBackend):
         self._stream.reset()
 
 
+class NativeBrotliEncoder(BrotliEncoder):
+    """Same format, the standalone native (C++) encoder — the second
+    complete brotli encoder implementation behind the same Interface
+    (reference pattern: the interchangeable brotli-C / rust-brotli
+    ENCODERS, src/encoder/brotli_c.rs:42-50 vs brotli.rs:22-29). The
+    whole encode path (hash-chain matcher, command planning, prefix-code
+    construction, header serialization) runs in
+    csrc/compu_brotli_enc2.cpp; options survive reset (the encoder
+    re-applies quality/window on the C++ state)."""
+
+    name = "brotli-native"
+
+    def __init__(self, options: BrotliOptions | None = None) -> None:
+        from .native_enc2 import NativeBrotliStream
+
+        self.options = options or BrotliOptions()
+        EncoderBackend.__init__(self)
+        self._stream = NativeBrotliStream(
+            quality=self.options.quality,
+            window_bits=self.options.window_bits,
+        )
+
+    def _do_reset(self) -> None:
+        self._stream.reset()
+
+
 class BrotliDecoder(DecoderBackend):
     name = "brotli"
     ERRORS = ERRORS
