@@ -98,8 +98,8 @@ def kernel_only_gbps(corpus: bytes, batch: int = 16, chain: int = 6) -> float:
                 # serialize: next batch depends on previous metadata
                 b = dev ^ (metas[0, 1] & 1).astype(jnp.uint8)
             _, metas, _ = _encode_blocks_batched(
-                b, lens, depth=32, cap=cap, with_index=True, check="crc",
-                kernel="v3", wcap=16,
+                b, lens, depth=16, cap=cap, with_index=True, check="crc",
+                kernel="v3", wcap=16, lex_keys=2, stride=1,
             )
         return np.asarray(metas)  # one value fetch
 
@@ -283,10 +283,16 @@ def main() -> None:
 
     best = float("inf")
     stream = index = None
+    breakdown = {}
     for _ in range(1 if smoke else 3):
         t0 = time.time()
         stream, index = enc.encode(corpus)
-        best = min(best, time.time() - t0)
+        took = time.time() - t0
+        if took < best:
+            best = took
+            # per-stage budget of the best run (VERDICT r4 item 4: a
+            # committed e2e number needs its transfer breakdown)
+            breakdown = dict(getattr(fn, "last_timings", {}))
     dt = best
 
     # Validate: the emitted stream is a standard gzip member.
@@ -349,6 +355,7 @@ def main() -> None:
             "decode_native_host_MBps": round(n / dt_nat / 1e6, 1),
             "decode_host_parallel_MBps": round(n / dt_par / 1e6, 1),
             "level": LEVEL,
+            "e2e_breakdown_ms": breakdown,
             **fmt,
         },
     }

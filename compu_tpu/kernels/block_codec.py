@@ -67,11 +67,13 @@ def _compact(stacked: jnp.ndarray, lens: jnp.ndarray, *, cap: int) -> jnp.ndarra
 
 @functools.partial(
     jax.jit, static_argnames=("depth", "cap", "with_index", "check", "kernel",
-                              "wcap")
+                              "wcap", "matcher", "stride", "lex_keys")
 )
 def _encode_blocks_batched(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int,
                            cap: int, with_index: bool, check: str,
-                           kernel: str = "v3", wcap: int = 32):
+                           kernel: str = "v3", wcap: int = 32,
+                           matcher: str = "lex", stride: int = 1,
+                           lex_keys: int = 2):
     """One jit over the whole (B, N) block matrix: lax.map of the block
     kernel plus the compaction, so a batch costs ONE dispatch instead of
     B+1. (These graphs lax.map cleanly — PLAN.md; the scatter-heavy v1
@@ -87,12 +89,14 @@ def _encode_blocks_batched(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int
         if with_index:
             outs, metas, segs = encode_blocks_dyn(
                 blocks, lens, depth=depth, cap=cap, with_index=True,
-                check=check, wcap=wcap,
+                check=check, wcap=wcap, matcher=matcher, stride=stride,
+                lex_keys=lex_keys,
             )
         else:
             outs, metas = encode_blocks_dyn(
                 blocks, lens, depth=depth, cap=cap, with_index=False,
-                check=check, wcap=wcap,
+                check=check, wcap=wcap, matcher=matcher, stride=stride,
+                lex_keys=lex_keys,
             )
             segs = None
         B = blocks.shape[0]
@@ -145,21 +149,21 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
     fixed-Huffman-only variant; ``'v1'`` keeps the chain-walk kernel
     (closer to the host ladder, much slower on TPU)."""
     depth, nice, lazy = _LEVEL[max(1, min(9, level))]
-    # Device (wcap, depth) ladder, re-measured after the matcher moved to
-    # pipelined VMEM blocks (PLAN.md round-3 deltas): candidate DEPTH is
-    # now nearly free on chip (the kernel is bound by the sort + fixed
-    # stages, not the per-depth XOR/ctz units — wcap=16 depth=8 and
-    # depth=32 both run ~30 ms per 16x256 KiB batch, ratio 3.862 vs 3.942
-    # on the 4 MB bench slice), while WCAP still costs sort payload
-    # operands (wcap=8 saves ~6.5 ms at ~0.15x ratio). So: fast levels
-    # drop to wcap=8, level >= 5 rides wcap=16 with depth scaled up, and
-    # the wcap=32 thorough tier is retired (16 measured bytes + chain
-    # extension recover longer matches at far lower sort cost).
+    # Device ladder for the r5 lex/LCP matcher (lcp_match.py): the
+    # adjacent-LCP composition makes small depths match hash-scan-32
+    # quality (measured on the 4 MB bench slice: lex keys2 d16 29.2 ms
+    # ratio 3.960 vs hash d32 33.3 ms ratio 3.942). Fast levels add
+    # stride-2 anchor sampling (halves sort/candidate elements at ~13%
+    # ratio cost — the zlib-fast tradeoff).
     dev_wcap = {1: 8, 2: 8, 3: 8, 4: 16, 5: 16, 6: 16, 7: 16, 8: 16, 9: 16}
-    dev_depth = {1: 4, 2: 8, 3: 12, 4: 12, 5: 16, 6: 32, 7: 48, 8: 64, 9: 64}
+    dev_depth = {1: 4, 2: 6, 3: 8, 4: 8, 5: 12, 6: 16, 7: 24, 8: 32, 9: 48}
+    dev_keys = {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 2, 9: 2}
+    dev_stride = {1: 2, 2: 2, 3: 2, 4: 1, 5: 1, 6: 1, 7: 1, 8: 1, 9: 1}
     lvl = max(1, min(9, level))
     wcap = dev_wcap[lvl]
     vdepth = dev_depth[lvl]
+    vkeys = dev_keys[lvl]
+    vstride = dev_stride[lvl]
 
     check = "crc" if mode is ZlibMode.Gzip else "adler"
 
@@ -171,6 +175,7 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
             return encode_block_dyn(
                 block, n, depth=vdepth, cap=cap,
                 with_index=segment_index, check=check, wcap=wcap,
+                lex_keys=vkeys, stride=vstride,
             )
         if kernel == "v2":
             return encode_block_fixed_v2(
@@ -181,6 +186,9 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
         return encode_block_fixed(block, n, depth=depth, nice=nice, lazy=lazy, cap=cap)
 
     def fn(blocks: np.ndarray, lens: np.ndarray):
+        import time as _time
+
+        t_start = _time.perf_counter()
         B, N = blocks.shape
         cap = N + N // 4 + 64
         v1_gzip = kernel not in ("v2", "v3") and mode is ZlibMode.Gzip
@@ -202,7 +210,7 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
                         depth=vdepth if kernel == "v3" else min(depth, 8),
                         cap=cap,
                         with_index=segment_index, check=check, kernel=kernel,
-                        wcap=wcap,
+                        wcap=wcap, lex_keys=vkeys, stride=vstride,
                     )
                     parts.append(part)
                     if g + 1 < G:
@@ -221,6 +229,7 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
                     depth=vdepth if kernel == "v3" else min(depth, 8),
                     cap=cap, with_index=segment_index,
                     check=check, kernel=kernel, wcap=wcap,
+                    lex_keys=vkeys, stride=vstride,
                 )
                 group_caps = None
             seg_futs = [seg_stack] if segment_index else []
@@ -248,7 +257,9 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
         small = [meta_stack.reshape(-1)]
         if segment_index:
             small.append(seg_futs[0].reshape(-1))
+        t_dispatched = _time.perf_counter()
         small_h = np.asarray(jnp.concatenate(small))  # sync 1 (small)
+        t_meta = _time.perf_counter()
         meta_host = small_h[: 2 * B].reshape(B, 2)
         out_lens = meta_host[:, 0].astype(np.int32)
         checks = meta_host[:, 1].astype(np.uint32)
@@ -270,6 +281,7 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
         else:
             total = int(out_lens.sum())
             flat = np.asarray(packed[:total])  # sync 2 (exact bytes)
+        t_payload = _time.perf_counter()
         offsets = np.concatenate([[0], np.cumsum(out_lens)])
         out = [flat[offsets[i] : offsets[i + 1]] for i in range(B)]
         if mode is ZlibMode.Gzip:
@@ -291,6 +303,17 @@ def make_block_encode_fn(mode: ZlibMode, level: int = 6, crc_lanes: int = 1024,
                     reg = checksum.crc_unshift(reg, N - int(lens[i]))
                     crcs[i] = reg ^ 0xFFFFFFFF
             checks = crcs
+        # per-call transfer/compute budget for the bench's e2e breakdown
+        # (h2d+dispatch are async-overlapped; sync_meta is the first point
+        # the host blocks on device completion, so it carries kernel time
+        # plus the H2D it waited on; payload_d2h is the compressed-bytes
+        # fetch; host_asm is framing/crc bookkeeping)
+        fn.last_timings = {
+            "h2d_dispatch_ms": round(1e3 * (t_dispatched - t_start), 1),
+            "sync_meta_ms": round(1e3 * (t_meta - t_dispatched), 1),
+            "payload_d2h_ms": round(1e3 * (t_payload - t_meta), 1),
+            "host_asm_ms": round(1e3 * (_time.perf_counter() - t_payload), 1),
+        }
         if segment_index:
             return out, out_lens, checks, seg_index
         return out, out_lens, checks

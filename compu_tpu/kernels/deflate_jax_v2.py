@@ -214,7 +214,7 @@ def _candidates_xla(hs, ps, sw, *, depth, max_dist, wcap):
 
 
 def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap,
-                seg: int = SEG):
+                seg: int = SEG, stride: int = 1):
     """Per-block: sort-back + chain/run extension + heuristics
     (vmappable). Returns (step_arr, best_len, best_dist, in_range)."""
     N = data.shape[0]
@@ -230,6 +230,12 @@ def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap,
     _, packed = jax.lax.sort((ps, packed), num_keys=1, is_stable=False)
     best_len = packed & 63
     best_dist = packed >> 6
+    if stride == 2:
+        # expand the even-anchor results to full resolution (odd
+        # positions: no match candidate; dense interleave, no scatter)
+        z = jnp.zeros_like(best_len)
+        best_len = jnp.stack([best_len, z], axis=-1).reshape(N)
+        best_dist = jnp.stack([best_dist, z], axis=-1).reshape(N)
 
     # --- chain extension: contiguous same-distance full-window matches
     # merge by log-doubling on dense rolls (a match that exhausted its
@@ -422,7 +428,8 @@ def _lcp_candidates(sorted_ops, *, depth: int, max_dist: int,
 def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                     max_dist: int = consts.WINDOW_SIZE, max_len: int = consts.MAX_MATCH,
                     clip_seg: bool = True, wcap: int = WCAP,
-                    matcher: str = "lex", cover_seg: int = SEG):
+                    matcher: str = "lex", cover_seg: int = SEG,
+                    stride: int = 1, lex_keys: int = 2):
     """Shared device LZ stage (single block): sort-carried matching +
     chain/run extension + exact greedy cover. Returns (is_tok bool[N],
     best_len i32[N], best_dist i32[N]) — the token cover all three formats
@@ -443,11 +450,14 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
     if matcher == "lex":
         from .lcp_match import sort_stage_lex
 
-        sorted_ops = sort_stage_lex(data, n, wcap=wcap)
+        sorted_ops = sort_stage_lex(data, n, wcap=wcap, stride=stride,
+                                    keys=lex_keys)
         ps = sorted_ops[-1]
         best_len_s, best_dist_s = _lcp_candidates(
-            sorted_ops, depth=depth, max_dist=max_dist, block_elems=N)
+            sorted_ops, depth=depth, max_dist=max_dist,
+            block_elems=N // stride)
     else:
+        stride = 1
         sorted_ops = _sort_stage(data, n, wcap=wcap)
         hs, ps = sorted_ops[0], sorted_ops[1]
         sw = sorted_ops[2:]
@@ -464,7 +474,7 @@ def match_and_parse(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
             )
     step_arr, best_len, best_dist, in_range, uncl = _post_match(
         data, n, ps, best_len_s, best_dist_s, max_len=max_len, wcap=wcap,
-        seg=cover_seg,
+        seg=cover_seg, stride=stride,
     )
     is_tok = _cover(step_arr, cover_seg) & in_range
     is_tok, best_len = _merge_seg_boundaries(is_tok, best_len, best_dist, n,
@@ -478,7 +488,8 @@ def match_and_parse_batch(datas: jnp.ndarray, ns: jnp.ndarray, *,
                           max_dist: int = consts.WINDOW_SIZE,
                           max_len: int = consts.MAX_MATCH,
                           clip_seg: bool = True, wcap: int = WCAP,
-                          matcher: str = "lex", cover_seg: int = SEG):
+                          matcher: str = "lex", cover_seg: int = SEG,
+                          stride: int = 1, lex_keys: int = 2):
     """match_and_parse over a (B, N) block matrix. The elementwise stages
     vmap; the Pallas matcher and cover run ONCE over the flattened batch
     (vmap of ANY-memory-space pallas_call is unsupported, and one flat
@@ -488,15 +499,17 @@ def match_and_parse_batch(datas: jnp.ndarray, ns: jnp.ndarray, *,
     if matcher == "lex":
         from .lcp_match import sort_stage_lex
 
-        sort_fn = functools.partial(sort_stage_lex, wcap=wcap)
+        sort_fn = functools.partial(sort_stage_lex, wcap=wcap, stride=stride,
+                                    keys=lex_keys)
         sorted_ops = jax.vmap(sort_fn)(datas, ns)
         ps = sorted_ops[-1]
         bl_f, bd_f = _lcp_candidates(
             tuple(w.reshape(-1) for w in sorted_ops),
-            depth=depth, max_dist=max_dist, block_elems=N)
-        best_len_s = bl_f.reshape(B, N)
-        best_dist_s = bd_f.reshape(B, N)
+            depth=depth, max_dist=max_dist, block_elems=N // stride)
+        best_len_s = bl_f.reshape(B, N // stride)
+        best_dist_s = bd_f.reshape(B, N // stride)
     else:
+        stride = 1
         sort_fn = functools.partial(_sort_stage, wcap=wcap)
         sorted_ops = jax.vmap(sort_fn)(datas, ns)
         hs, ps = sorted_ops[0], sorted_ops[1]
@@ -516,7 +529,7 @@ def match_and_parse_batch(datas: jnp.ndarray, ns: jnp.ndarray, *,
                 _candidates_xla, depth=depth, max_dist=max_dist, wcap=wcap)
             best_len_s, best_dist_s = jax.vmap(cand_fn)(hs, ps, sw)
     post_fn = functools.partial(_post_match, max_len=max_len, wcap=wcap,
-                                seg=cover_seg)
+                                seg=cover_seg, stride=stride)
     step_arr, best_len, best_dist, in_range, uncl = jax.vmap(post_fn)(
         datas, ns, ps, best_len_s, best_dist_s
     )

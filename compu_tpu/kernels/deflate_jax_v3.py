@@ -252,11 +252,11 @@ def _hist_mxu(sym: jnp.ndarray, mask: jnp.ndarray, nbins: int) -> jnp.ndarray:
 
 
 def _tokens_and_hist(data, n, *, depth, clip_seg=False, wcap=32,
-                     matcher="lex", cover_seg=SEG):
+                     matcher="lex", cover_seg=SEG, stride=1, lex_keys=2):
     """Stage 1: LZ tokens + per-block symbol histograms (device)."""
     is_tok, best_len, best_dist = match_and_parse(
         data, n, depth=depth, clip_seg=clip_seg, wcap=wcap, matcher=matcher,
-        cover_seg=cover_seg,
+        cover_seg=cover_seg, stride=stride, lex_keys=lex_keys,
     )
     return _tok_hist_from_match(data, n, is_tok, best_len, best_dist)
 
@@ -479,8 +479,13 @@ def _emit(data, n, tok, tables, *, cap, with_index):
     # exact in bf16; per-byte sums <= 255 (bit-disjoint) are exact in f32.
     from .emit_pallas import emit_pack_pallas, emit_pack_xla, rows_from_tiles
 
+    # Pallas emit measured SLOWER end-to-end than the XLA einsum (the
+    # small per-block grids under lax.map dispatch ~4k tiny steps);
+    # COMPU_EMIT=pallas keeps the kernel for A/B. Note: wrapping
+    # encode_blocks_dyn in another jit DCEs the emit when only metas are
+    # consumed — time it through the unwrapped jit only.
     use_pallas = (jax.default_backend() != "cpu"
-                  and os.environ.get("COMPU_EMIT") != "xla"
+                  and os.environ.get("COMPU_EMIT") == "pallas"
                   and SEG == 128 and S % 8 == 0)
     if use_pallas:
         tiles = emit_pack_pallas(bytep, shifted)
@@ -595,11 +600,13 @@ def _block_checksum(data, n, check):
 
 @functools.partial(jax.jit, static_argnames=("depth", "cap", "with_index",
                                               "check", "wcap", "matcher",
-                                              "cover_seg"))
+                                              "cover_seg", "stride",
+                                              "lex_keys"))
 def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
                       cap: int = 0, with_index: bool = False,
                       check: str = "adler", wcap: int = 32,
-                      matcher: str = "lex", cover_seg: int = SEG):
+                      matcher: str = "lex", cover_seg: int = SEG,
+                      stride: int = 1, lex_keys: int = 2):
     """Batched v3 encode over a (B, N) block matrix — the throughput path.
 
     Stage split matters on TPU: the token scan and the bit-pack lax.map
@@ -617,7 +624,8 @@ def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
     # unsupported); the elementwise token/histogram stage vmaps.
     is_tok_b, bl_b, bd_b = match_and_parse_batch(
         blocks, lens, depth=depth, clip_seg=with_index, wcap=wcap,
-        matcher=matcher, cover_seg=cover_seg,
+        matcher=matcher, cover_seg=cover_seg, stride=stride,
+        lex_keys=lex_keys,
     )
 
     def stage1(data, n, is_tok, best_len, best_dist):
@@ -648,11 +656,13 @@ def encode_blocks_dyn(blocks: jnp.ndarray, lens: jnp.ndarray, *, depth: int = 8,
 
 @functools.partial(jax.jit, static_argnames=("depth", "cap", "with_index",
                                               "check", "wcap", "matcher",
-                                              "cover_seg"))
+                                              "cover_seg", "stride",
+                                              "lex_keys"))
 def encode_block_dyn(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
                      cap: int = 0, with_index: bool = False,
                      check: str = "adler", wcap: int = 32,
-                     matcher: str = "lex", cover_seg: int = SEG):
+                     matcher: str = "lex", cover_seg: int = SEG,
+                     stride: int = 1, lex_keys: int = 2):
     """v3 block encode (single block). Returns (out_u8[cap], meta_i32[2])
     (+ seg_bits with ``with_index``), same contract as v2's
     encode_block_fixed_v2."""
@@ -661,7 +671,7 @@ def encode_block_dyn(data: jnp.ndarray, n: jnp.ndarray, *, depth: int = 8,
         cap = N + N // 4 + 64
     tok, lit_freq, dist_freq, xl, xd = _tokens_and_hist(
         data, n, depth=depth, clip_seg=with_index, wcap=wcap, matcher=matcher,
-        cover_seg=cover_seg,
+        cover_seg=cover_seg, stride=stride, lex_keys=lex_keys,
     )
     tables = _build_tables(lit_freq, dist_freq, xl, xd, n)
     res = _emit(data, n, tok, tables, cap=cap, with_index=with_index)

@@ -77,7 +77,7 @@ def swap32(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def sort_stage_lex(data: jnp.ndarray, n: jnp.ndarray, *, wcap: int,
-                   keys: int = 2):
+                   keys: int = 2, stride: int = 1):
     """Per-block lexicographic sort: returns (wbe..., ps) sort-order
     arrays. The first ``keys`` BE window words are sort keys (exact
     lexicographic order over 4*keys bytes); remaining words ride as
@@ -94,7 +94,15 @@ def sort_stage_lex(data: jnp.ndarray, n: jnp.ndarray, *, wcap: int,
     del n  # tail positions carry pad-garbage windows; consumers clip
     pos_all = jnp.arange(N, dtype=jnp.int32)
     words = [swap32(_u32_words(data, k)) for k in range(wcap // 4)]
-    keys = int(os.environ.get("COMPU_LEX_KEYS", str(keys)))
+    if stride == 2:
+        # anchor sampling: match STARTS restricted to even positions —
+        # halves the sort/candidate/sort-back element count; the dist-1
+        # run extension and lazy demotion still act at full resolution
+        # downstream (zlib's fast-level tradeoff, re-expressed for sort
+        # networks instead of hash probes)
+        pos_all = pos_all[::2]
+        words = [w[::2] for w in words]
+    keys = int(os.environ.get("COMPU_LEX_KEYS", str(keys)))  # A/B override
     keys = min(keys, len(words))
     sorted_ops = jax.lax.sort((*words, pos_all), num_keys=keys,
                               is_stable=True)
