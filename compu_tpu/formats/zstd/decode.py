@@ -61,7 +61,10 @@ class ZstdFrameDecoder:
     ``(consumed_pos, finished)``.
     """
 
-    def __init__(self, window_log_max: int = 31) -> None:
+    def __init__(self, window_log_max: int = 31,
+                 device_literals: bool = False) -> None:
+        #: decode the 4-stream Huffman literal sections on device
+        self.device_literals = device_literals
         self.window_log_max = window_log_max
         self.sink = bytearray()
         self._reset_stream()
@@ -329,12 +332,32 @@ class ZstdFrameDecoder:
             per = (regen + 3) // 4
             sizes = [s1, s2, s3, len(body) - s1 - s2 - s3]
             counts = [per, per, per, regen - 3 * per]
-            literals = bytearray()
-            off = 0
-            for sz, cnt in zip(sizes, counts):
-                literals.extend(table.decode_stream(body[off : off + sz], cnt))
-                off += sz
-            literals = bytes(literals)
+            literals = None
+            if self.device_literals and min(counts) > 0:
+                # device 4-stream decode (VERDICT r4 item 8): the four
+                # backward bitstreams decode as independent device lanes;
+                # any malformed-stream signal falls back to the host path
+                from ...kernels.zstd_lit_decode_jax import                     decode_4stream_device
+
+                bodies = []
+                off = 0
+                for sz in sizes:
+                    bodies.append(bytes(body[off : off + sz]))
+                    off += sz
+                try:
+                    literals = decode_4stream_device(
+                        bodies, counts, table.symbol, table.nbits,
+                        table.max_bits)
+                except Exception:
+                    literals = None
+            if literals is None:
+                literals = bytearray()
+                off = 0
+                for sz, cnt in zip(sizes, counts):
+                    literals.extend(
+                        table.decode_stream(body[off : off + sz], cnt))
+                    off += sz
+                literals = bytes(literals)
         if len(literals) != regen:
             raise CodecFailure(ERR_LITERALS, ERRORS[ERR_LITERALS])
         return literals, rest

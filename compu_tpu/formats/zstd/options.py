@@ -71,9 +71,12 @@ class ZstdOptions:
 @dataclasses.dataclass(frozen=True)
 class ZstdDecodeOptions:
     """Decoder options (reference: src/decoder/zstd.rs:22-74 — the
-    window_log cap is the only knob)."""
+    window_log cap is the only knob; device_literals additionally decodes
+    4-stream Huffman literal sections on the TPU,
+    kernels/zstd_lit_decode_jax.py)."""
 
     window_log_max: int = 31
+    device_literals: bool = False
 
     def __post_init__(self) -> None:
         if not 10 <= self.window_log_max <= 31:

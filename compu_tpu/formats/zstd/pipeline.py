@@ -60,7 +60,9 @@ class ZstdDecoder(DecoderBackend):
     def __init__(self, options: ZstdDecodeOptions | None = None) -> None:
         self.options = options or ZstdDecodeOptions()
         super().__init__()
-        self._frame = ZstdFrameDecoder(window_log_max=self.options.window_log_max)
+        self._frame = ZstdFrameDecoder(
+            window_log_max=self.options.window_log_max,
+            device_literals=getattr(self.options, "device_literals", False))
         self._frame.sink_budget = self.pending_high_water
 
     def _pump(self) -> None:
@@ -76,7 +78,9 @@ class ZstdDecoder(DecoderBackend):
         self._frame.pos -= nbytes
 
     def _do_reset(self) -> None:
-        self._frame = ZstdFrameDecoder(window_log_max=self.options.window_log_max)
+        self._frame = ZstdFrameDecoder(
+            window_log_max=self.options.window_log_max,
+            device_literals=getattr(self.options, "device_literals", False))
         self._frame.sink_budget = self.pending_high_water
 
 

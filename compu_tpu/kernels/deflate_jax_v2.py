@@ -250,18 +250,21 @@ def _post_match(data, n, ps, best_len_s, best_dist_s, *, max_len, wcap,
         k *= 2
 
     # --- run extension: distance-1 matches via log-doubling ------------
-    e = (data == jnp.roll(data, -1)) & (pos_all < n - 1)
-    run = e.astype(jnp.int32)
-    step = 1
-    while step < max_len:
-        run = run + jnp.where(run == step, jnp.roll(run, -step), 0)
-        step *= 2
-    run = jnp.minimum(run, max_len)
-    # match at i with dist 1 has length run[i-1]; express via roll.
-    run_len = jnp.roll(run, 1).at[0].set(0)
-    use_run = run_len > best_len
-    best_len = jnp.where(use_run, run_len, best_len)
-    best_dist = jnp.where(use_run, 1, best_dist)
+    # (COMPU_RUN_EXT=0 disables for the decode-chain-depth experiments:
+    # dist-1 runs are the deepest resolution chains of all)
+    if os.environ.get("COMPU_RUN_EXT") != "0":
+        e = (data == jnp.roll(data, -1)) & (pos_all < n - 1)
+        run = e.astype(jnp.int32)
+        step = 1
+        while step < max_len:
+            run = run + jnp.where(run == step, jnp.roll(run, -step), 0)
+            step *= 2
+        run = jnp.minimum(run, max_len)
+        # match at i with dist 1 has length run[i-1]; express via roll.
+        run_len = jnp.roll(run, 1).at[0].set(0)
+        use_run = run_len > best_len
+        best_len = jnp.where(use_run, run_len, best_len)
+        best_dist = jnp.where(use_run, 1, best_dist)
 
     # --- heuristics ----------------------------------------------------
     limit = jnp.minimum(n - pos_all, jnp.int32(max_len))

@@ -117,6 +117,8 @@ def lcp_candidates_xla(sorted_ops, *, depth: int, max_dist: int,
                        block_elems: int):
     """Best (len_bytes, dist) per sorted lane by adjacent-LCP composition
     over both sort-order directions (dense rolls)."""
+    import os
+
     *wbe, ps = sorted_ops
     N = ps.shape[0]
     ps = ps.astype(jnp.int32)
@@ -129,10 +131,18 @@ def lcp_candidates_xla(sorted_ops, *, depth: int, max_dist: int,
     best_len = jnp.zeros(N, jnp.int32)
     best_dist = jnp.zeros(N, jnp.int32)
 
+    prefer_far = os.environ.get("COMPU_LCP_TIE") == "far"
+
     def upd(best_len, best_dist, l, dist):
         valid = (dist > 0) & (dist <= max_dist) & (l > 0)
-        better = valid & ((l > best_len)
-                          | ((l == best_len) & (dist < best_dist)))
+        if prefer_far:
+            # decode-friendly: equal-length ties pick the FARTHEST source,
+            # so match chains collapse toward the earliest occurrence
+            # (shallow pointer-resolution graphs for the device decoder)
+            tie = (l == best_len) & (dist > best_dist)
+        else:
+            tie = (l == best_len) & (dist < best_dist)
+        better = valid & ((l > best_len) | tie)
         return (jnp.where(better, l, best_len),
                 jnp.where(better, dist, best_dist))
 
@@ -214,23 +224,29 @@ def _lcp_kernel(*refs, words: int, depth: int, max_dist: int,
     wideF_adj = jnp.concatenate([adj, nxt_adj_rows], axis=1)    # (ROWS,256)
     wideF_ps = jnp.concatenate([ps, nxt_ps_rows], axis=1)
 
+    import os
+
+    prefer_far = os.environ.get("COMPU_LCP_TIE") == "far"
     best_len = jnp.zeros((ROWS, 128), jnp.int32)
     best_dist = jnp.zeros((ROWS, 128), jnp.int32)
     mb = adj
     mf = wideF_adj[:, 1:129]
 
+    def tie(l, dist, bl, bd):
+        return ((l == bl) & (dist > bd)) if prefer_far             else ((l == bl) & (dist < bd))
+
     for d in range(1, depth + 1):
         dist_b = ps - wideB_ps[:, 128 - d:256 - d]
         valid = (dist_b > 0) & (dist_b <= max_dist) & (mb > 0)
         better = valid & ((mb > best_len)
-                          | ((mb == best_len) & (dist_b < best_dist)))
+                          | tie(mb, dist_b, best_len, best_dist))
         best_len = jnp.where(better, mb, best_len)
         best_dist = jnp.where(better, dist_b, best_dist)
 
         dist_f = ps - wideF_ps[:, d:128 + d]
         valid = (dist_f > 0) & (dist_f <= max_dist) & (mf > 0)
         better = valid & ((mf > best_len)
-                          | ((mf == best_len) & (dist_f < best_dist)))
+                          | tie(mf, dist_f, best_len, best_dist))
         best_len = jnp.where(better, mf, best_len)
         best_dist = jnp.where(better, dist_f, best_dist)
 
