@@ -67,6 +67,18 @@ def probe_cover(data_b):
     return jnp.sum(is_tok, axis=1).astype(jnp.int32) ^ bl[:, 0]
 
 
+def probe_tok(data_b):
+    is_tok, bl, bd = v2.match_and_parse_batch(
+        data_b, lens_dev, depth=DEPTH, wcap=WCAP, cover_seg=CSEG)
+
+    def stage1(data, n, t, l, d):
+        tok, lf, df, xl, xd = v3._tok_hist_from_match(data, n, t, l, d)
+        chk = v3._block_checksum(data, n, "crc")
+        return lf[0] ^ df[0] ^ jnp.sum(tok["sym"]) ^ chk.astype(jnp.int32)
+
+    return jax.vmap(stage1)(data_b, lens_dev, is_tok, bl, bd)
+
+
 def probe_full(data_b):
     _, metas = v3.encode_blocks_dyn(
         data_b, lens_dev, depth=DEPTH, cap=cap, wcap=WCAP, cover_seg=CSEG,
@@ -95,6 +107,7 @@ probes = [
     ("+cand(lcp)", probe_cand),
     ("+post", probe_post),
     ("+cover+merge", probe_cover),
+    ("+tok_hist+chk", probe_tok),
     ("full v3", probe_full),
 ]
 prev = 0.0
