@@ -150,6 +150,16 @@ class Interface:
         return Encoder(pipeline.DeviceDeflateEncoder(options, block_size=block_size))
 
     @staticmethod
+    def zstd_native(options=None) -> Encoder:
+        """Second complete zstd encoder implementation (standalone C++:
+        csrc/compu_zstd_enc2.cpp) behind the same Interface — the
+        multi-implementation pattern applied to zstd encode. Raises if
+        the native runtime is unavailable."""
+        from .formats.zstd import pipeline
+
+        return Encoder(pipeline.NativeZstdEncoder(options))
+
+    @staticmethod
     def zstd(options=None) -> Encoder:
         from .formats.zstd import pipeline
 

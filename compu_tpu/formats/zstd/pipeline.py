@@ -53,6 +53,32 @@ class ZstdEncoder(EncoderBackend):
         self._stream.reset()
 
 
+class NativeZstdEncoder(ZstdEncoder):
+    """Same format, the standalone native (C++) encoder — a second
+    complete zstd encoder implementation behind the same Interface
+    (csrc/compu_zstd_enc2.cpp: hash-chain matcher, repeat offsets,
+    RLE/custom/predefined FSE sequence modes, 1/4-stream Huffman
+    literals with direct or FSE weight descriptions, RLE/raw block
+    fallbacks, streaming xxh64). Mirrors the multi-impl pattern the
+    reference ships for zlib (zlib vs zlib-ng vs zlib-rs)."""
+
+    name = "zstd-native"
+
+    def __init__(self, options: ZstdOptions | None = None) -> None:
+        from .native_enc2 import NativeZstdStream
+
+        self.options = options or ZstdOptions()
+        EncoderBackend.__init__(self)
+        self._stream = NativeZstdStream(
+            level=self.options.level,
+            window_log=self.options.window_log,
+            checksum=self.options.checksum,
+        )
+
+    def _do_reset(self) -> None:
+        self._stream.reset()
+
+
 class ZstdDecoder(DecoderBackend):
     name = "zstd"
     ERRORS = ERRORS

@@ -19,7 +19,8 @@ _SRC = _CSRC / "compu_runtime.cpp"
 _SRCS = [_SRC, _CSRC / "compu_inflate.cpp", _CSRC / "compu_deflate.cpp",
          _CSRC / "compu_parse.cpp", _CSRC / "compu_zstd.cpp",
          _CSRC / "compu_brotli.cpp", _CSRC / "compu_zstd_enc.cpp",
-         _CSRC / "compu_brotli_enc.cpp", _CSRC / "compu_brotli_enc2.cpp"]
+         _CSRC / "compu_brotli_enc.cpp", _CSRC / "compu_brotli_enc2.cpp",
+         _CSRC / "compu_zstd_enc2.cpp"]
 _SO = _SRC.with_name("libcompu_runtime.so")
 _lock = threading.Lock()
 _lib = None
@@ -222,6 +223,16 @@ def _load():
                     ctypes.POINTER(ctypes.c_size_t),
                     ctypes.POINTER(ctypes.c_size_t),
                 ]
+                if hasattr(lib, "compu_zstd2_new"):
+                    lib.compu_zstd2_new.restype = ctypes.c_void_p
+                    lib.compu_zstd2_new.argtypes = [ctypes.c_int] * 3
+                    lib.compu_zstd2_free.argtypes = [ctypes.c_void_p]
+                    lib.compu_zstd2_reset.argtypes = [ctypes.c_void_p]
+                    lib.compu_zstd2_run.restype = ctypes.c_longlong
+                    lib.compu_zstd2_run.argtypes = [
+                        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+                        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+                    ]
                 if hasattr(lib, "compu_brenc2_new"):
                     lib.compu_brenc2_new.restype = ctypes.c_void_p
                     lib.compu_brenc2_new.argtypes = [ctypes.c_int, ctypes.c_int]

@@ -1,0 +1,1023 @@
+// Standalone native zstd ENCODER (RFC 8878) — the full-frame C++ encode
+// path (compu_zstd2_*), completing the native codec story the same way
+// compu_zstd.cpp does for decode and compu_brotli_enc2.cpp does for
+// brotli.
+//
+// Role: the reference's zstd encode hot loop lives in libzstd
+// (/root/reference/src/encoder/zstd.rs:167-169 -> ZSTD_compressStream2);
+// the Python/JAX pipeline (formats/zstd/encode.py) is this framework's
+// reference implementation with per-stage csrc hot loops, but its block
+// orchestration (numpy table builds, section assembly) caps it near
+// ~10-20 MB/s. This file is a second, complete implementation: the whole
+// block path — hash-chain matcher, sequence folding, repeat offsets,
+// Huffman literals (1/4-stream + direct or FSE-compressed weight
+// descriptions), predefined-FSE sequence bitstreams, RLE/raw fallbacks,
+// frame header and streaming xxh64 content checksum — in C++, reusing
+// the per-stage extern loops from compu_zstd_enc.cpp.
+//
+// Simplifications vs the Python planner (all format-valid): sequence
+// channels always use the PREDEFINED distributions (mode 0 — zero table
+// headers; a few % ratio vs per-block custom FSE), matcher minimum match
+// is 4 (hash-4 chains), dictionary-less.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+// per-stage loops shared with the Python pipeline (compu_zstd_enc.cpp)
+long long compu_zstd_seq_from_tokens(
+    const uint8_t* data, long long ntok,
+    const int64_t* tok_pos, const int64_t* tok_len, const int64_t* tok_dist,
+    int32_t* out_ll, int32_t* out_off, int32_t* out_ml,
+    uint8_t* out_lits, long long* lits_len);
+void compu_zstd_resolve_offsets(
+    const int32_t* ll, const int32_t* off, long long n,
+    int64_t* rep, int64_t* out_values);
+long long compu_zstd_seq_bitstream(
+    long long n,
+    const int32_t* ll_codes, const int32_t* ml_codes, const int32_t* of_codes,
+    const int32_t* ll_x, const int32_t* ll_xb,
+    const int32_t* ml_x, const int32_t* ml_xb,
+    const int64_t* of_x, const int32_t* of_xb,
+    int ll_has, const int64_t* ll_st, const int64_t* ll_dn, const int64_t* ll_df, int ll_log,
+    int ml_has, const int64_t* ml_st, const int64_t* ml_dn, const int64_t* ml_df, int ml_log,
+    int of_has, const int64_t* of_st, const int64_t* of_dn, const int64_t* of_df, int of_log,
+    uint8_t* out, long long out_cap);
+long long compu_huf_encode_stream(
+    const uint8_t* data, long long n,
+    const uint32_t* code, const int32_t* nbits,
+    uint8_t* out, long long out_cap);
+long long compu_fse_pair_stream(
+    const uint8_t* syms, long long n,
+    const int64_t* st, const int64_t* dn, const int64_t* df, int table_log,
+    uint8_t* out, long long out_cap);
+}
+
+namespace {
+
+// --- normative sequence-code tables (RFC 8878 §3.1.1.3.2) -----------------
+static const int64_t LL_BASE[36] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536};
+static const int LL_BITS[36] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+static const int64_t ML_BASE[53] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 37,
+    39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051,
+    4099, 8195, 16387, 32771, 65539};
+static const int ML_BITS[53] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7,
+    8, 9, 10, 11, 12, 13, 14, 15, 16};
+// predefined FSE distributions (accuracy logs 6/6/5)
+static const int LL_DEF[36] = {
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1};
+static const int ML_DEF[53] = {
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1};
+static const int OF_DEF[29] = {
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1};
+
+static inline int highbit(int64_t v) {
+    int b = -1;
+    while (v) { v >>= 1; b++; }
+    return b;
+}
+
+static inline int ll_code_of(int64_t v) {
+    if (v < 16) return (int)v;
+    int c = 15;
+    for (int i = 16; i < 36; i++)
+        if (LL_BASE[i] <= v) c = i;
+    return c;
+}
+static inline int ml_code_of(int64_t v) {
+    if (v < 35) return (int)(v - 3);
+    int c = 31;
+    for (int i = 32; i < 53; i++)
+        if (ML_BASE[i] <= v) c = i;
+    return c;
+}
+
+// --- FSE encode table (mirror of fse.py::FseEncodeTable) -------------------
+struct FseTable {
+    std::vector<int64_t> st, dn, df;
+    int log = 0;
+    bool ok = false;
+};
+
+static bool build_fse(const int* norm, int nsyms, int table_log, FseTable& t) {
+    int size = 1 << table_log;
+    std::vector<int> spread((size_t)size, -1);
+    int high = size - 1;
+    for (int s = 0; s < nsyms; s++)
+        if (norm[s] == -1) spread[(size_t)high--] = s;
+    int pos = 0;
+    int step = (size >> 1) + (size >> 3) + 3;
+    int mask = size - 1;
+    for (int s = 0; s < nsyms; s++) {
+        if (norm[s] <= 0) continue;
+        for (int k = 0; k < norm[s]; k++) {
+            spread[(size_t)pos] = s;
+            pos = (pos + step) & mask;
+            while (pos > high) pos = (pos + step) & mask;
+        }
+    }
+    if (pos != 0) return false;
+    for (int u = 0; u < size; u++)
+        if (spread[(size_t)u] < 0) return false;
+    std::vector<int64_t> freqs((size_t)nsyms), cumul((size_t)nsyms + 1, 0);
+    for (int s = 0; s < nsyms; s++)
+        freqs[(size_t)s] = norm[s] > 0 ? norm[s] : (norm[s] == -1 ? 1 : 0);
+    for (int s = 0; s < nsyms; s++)
+        cumul[(size_t)s + 1] = cumul[(size_t)s] + freqs[(size_t)s];
+    t.st.assign((size_t)size, 0);
+    std::vector<int64_t> cum(cumul.begin(), cumul.end() - 1);
+    for (int u = 0; u < size; u++) {
+        int s = spread[(size_t)u];
+        t.st[(size_t)cum[(size_t)s]++] = size + u;
+    }
+    t.dn.assign((size_t)nsyms, 0);
+    t.df.assign((size_t)nsyms, 0);
+    for (int s = 0; s < nsyms; s++) {
+        int64_t f = freqs[(size_t)s];
+        if (!f) continue;
+        if (f == 1) {
+            t.dn[(size_t)s] = ((int64_t)table_log << 16) - (1LL << table_log);
+        } else {
+            int max_bits = table_log - highbit(f - 1);
+            t.dn[(size_t)s] = ((int64_t)max_bits << 16) - (f << max_bits);
+        }
+        t.df[(size_t)s] = cumul[(size_t)s] - f;
+    }
+    t.log = table_log;
+    t.ok = true;
+    return true;
+}
+
+static const FseTable& ll_table() {
+    static FseTable t;
+    if (!t.ok) build_fse(LL_DEF, 36, 6, t);
+    return t;
+}
+static const FseTable& ml_table() {
+    static FseTable t;
+    if (!t.ok) build_fse(ML_DEF, 53, 6, t);
+    return t;
+}
+static const FseTable& of_table() {
+    static FseTable t;
+    if (!t.ok) build_fse(OF_DEF, 29, 5, t);
+    return t;
+}
+
+// --- normalize + norm-count header (mirror huff.py/fse.py) ----------------
+static bool normalize_counts(const int64_t* freqs, int n, int64_t total,
+                             int max_log, std::vector<int>& norm,
+                             int* table_log_out) {
+    std::vector<int> used;
+    for (int i = 0; i < n; i++)
+        if (freqs[i]) used.push_back(i);
+    if (used.size() < 2) return false;
+    int tl = 5;
+    int b1 = highbit(total - 1) - 1;  // bit_length(total-1) - 2
+    if (b1 > tl) tl = b1;
+    int b2 = highbit((int64_t)used.size()) + 1;  // bit_length(len(used))
+    if (b2 > tl) tl = b2;
+    if (tl > max_log) tl = max_log;
+    int size = 1 << tl;
+    if ((int)used.size() > size) return false;
+    norm.assign((size_t)n, 0);
+    double scale = (double)size / (double)total;
+    std::vector<int> big;
+    int nsmall = 0;
+    for (int s : used) {
+        if (freqs[s] * size < total) { norm[(size_t)s] = -1; nsmall++; }
+        else big.push_back(s);
+    }
+    long long budget = size - nsmall;
+    if (big.empty()) return false;
+    std::vector<double> shares;
+    std::vector<long long> base;
+    long long bsum = 0;
+    for (int s : big) {
+        double sh = (double)freqs[s] * scale;
+        long long b = (long long)std::floor(sh);
+        if (b < 1) b = 1;
+        shares.push_back(sh);
+        base.push_back(b);
+        bsum += b;
+    }
+    long long excess = budget - bsum;
+    if (excess < 0) {
+        std::vector<size_t> order(base.size());
+        for (size_t i = 0; i < order.size(); i++) order[i] = i;
+        std::sort(order.begin(), order.end(), [&](size_t a, size_t b2_) {
+            return base[a] > base[b2_];
+        });
+        size_t i = 0;
+        while (excess < 0) {
+            size_t j = order[i % order.size()];
+            if (base[j] > 1) { base[j]--; excess++; }
+            i++;
+            if (i > 4 * order.size() * (size_t)size) return false;
+        }
+    } else if (excess > 0) {
+        std::vector<size_t> order(base.size());
+        for (size_t i = 0; i < order.size(); i++) order[i] = i;
+        std::sort(order.begin(), order.end(), [&](size_t a, size_t b2_) {
+            double fa = shares[a] - std::floor(shares[a]);
+            double fb = shares[b2_] - std::floor(shares[b2_]);
+            return fa > fb;
+        });
+        for (long long k = 0; k < excess; k++)
+            base[order[(size_t)k % order.size()]]++;
+    }
+    for (size_t i = 0; i < big.size(); i++)
+        norm[(size_t)big[i]] = (int)base[i];
+    *table_log_out = tl;
+    return true;
+}
+
+struct BitAppend {
+    std::vector<uint8_t>& out;
+    uint64_t acc = 0;
+    int nbits = 0;
+    void push(uint64_t v, int n) {
+        acc |= (v & ((1ULL << n) - 1)) << nbits;
+        nbits += n;
+        while (nbits >= 8) {
+            out.push_back((uint8_t)acc);
+            acc >>= 8;
+            nbits -= 8;
+        }
+    }
+    void flush() {
+        if (nbits) { out.push_back((uint8_t)acc); acc = 0; nbits = 0; }
+    }
+};
+
+static void write_norm_counts(const std::vector<int>& counts, int table_log,
+                              std::vector<uint8_t>& out) {
+    BitAppend w{out};
+    w.push((uint64_t)(table_log - 5), 4);
+    int size = 1 << table_log;
+    int remaining = size + 1;
+    int threshold = size;
+    int nbits = table_log + 1;
+    size_t i = 0;
+    while (remaining > 1 && i < counts.size()) {
+        int count = counts[i++];
+        int value = count + 1;
+        int maxv = (2 * threshold - 1) - remaining;
+        if (value < maxv) {
+            w.push((uint64_t)value, nbits - 1);
+        } else {
+            int v = value;
+            if (v >= threshold) v += maxv;
+            w.push((uint64_t)v, nbits);
+        }
+        remaining -= count < 0 ? -count : count;
+        if (count == 0) {
+            int run = 0;
+            while (i < counts.size() && counts[i] == 0 && remaining > 1) {
+                run++;
+                i++;
+            }
+            while (run >= 3) { w.push(3, 2); run -= 3; }
+            w.push((uint64_t)run, 2);
+        }
+        while (remaining < threshold) {
+            nbits--;
+            threshold >>= 1;
+        }
+    }
+    w.flush();
+}
+
+// --- length-limited Huffman (cap 11; Kraft exact) --------------------------
+static void huf_lengths(const int64_t* freq, int n, int cap, uint8_t* lens) {
+    memset(lens, 0, (size_t)n);
+    std::vector<int> used;
+    for (int i = 0; i < n; i++)
+        if (freq[i] > 0) used.push_back(i);
+    if (used.size() < 2) return;
+    struct Node { int64_t f; int l, r; };
+    std::vector<Node> nodes;
+    std::vector<int> leaves = used;
+    std::sort(leaves.begin(), leaves.end(), [&](int a, int b) {
+        return freq[a] < freq[b] || (freq[a] == freq[b] && a < b);
+    });
+    for (int s : leaves) nodes.push_back({freq[s], -1, -1});
+    size_t qa = 0, qb = 0;
+    std::vector<int> merged;
+    while (leaves.size() + merged.size() - qa - qb >= 2) {
+        auto take = [&]() -> int {
+            bool lo = qa < leaves.size();
+            bool io = qb < merged.size();
+            if (lo && (!io || nodes[qa].f <= nodes[(size_t)merged[qb]].f))
+                return (int)qa++;
+            return merged[qb++];
+        };
+        int a = take();
+        int b = take();
+        nodes.push_back({nodes[(size_t)a].f + nodes[(size_t)b].f, a, b});
+        merged.push_back((int)nodes.size() - 1);
+    }
+    std::vector<std::pair<int, int>> stack{{merged.back(), 0}};
+    while (!stack.empty()) {
+        auto [ni, d] = stack.back();
+        stack.pop_back();
+        const Node& nd = nodes[(size_t)ni];
+        if (nd.l < 0) {
+            lens[leaves[(size_t)ni]] = (uint8_t)(d > 0 ? d : 1);
+        } else {
+            stack.push_back({nd.l, d + 1});
+            stack.push_back({nd.r, d + 1});
+        }
+    }
+    for (int s : used)
+        if (lens[s] > cap) lens[s] = (uint8_t)cap;
+    long long budget = 1LL << cap;
+    long long k = 0;
+    for (int s : used) k += 1LL << (cap - lens[s]);
+    while (k > budget) {
+        int best = -1;
+        for (int s : used)
+            if (lens[s] < cap && (best < 0 || lens[s] < lens[best])) best = s;
+        k -= 1LL << (cap - lens[best]);
+        lens[best]++;
+        k += 1LL << (cap - lens[best]);
+    }
+    while (k < budget) {
+        long long d = budget - k;
+        int best = -1;
+        for (int s : used) {
+            if (lens[s] <= 1) continue;
+            if ((1LL << (cap - lens[s])) <= d
+                && (best < 0 || freq[s] > freq[best])) best = s;
+        }
+        if (best < 0) break;  // cannot happen for valid inputs
+        k += 1LL << (cap - lens[best]);
+        lens[best]--;
+    }
+}
+
+// --- streaming xxh64 (content checksum) ------------------------------------
+struct Xxh64 {
+    static constexpr uint64_t P1 = 0x9E3779B185EBCA87ULL,
+                              P2 = 0xC2B2AE3D27D4EB4FULL,
+                              P3 = 0x165667B19E3779F9ULL,
+                              P4 = 0x85EBCA77C2B2AE63ULL,
+                              P5 = 0x27D4EB2F165667C5ULL;
+    uint64_t v1, v2, v3, v4;
+    uint8_t buf[32];
+    size_t bufn = 0;
+    uint64_t total = 0;
+
+    static inline uint64_t rotl(uint64_t x, int r) {
+        return (x << r) | (x >> (64 - r));
+    }
+    void reset(uint64_t seed = 0) {
+        v1 = seed + P1 + P2; v2 = seed + P2; v3 = seed; v4 = seed - P1;
+        bufn = 0;
+        total = 0;
+    }
+    inline void round4(const uint8_t* p) {
+        uint64_t k;
+        memcpy(&k, p, 8); v1 = rotl(v1 + k * P2, 31) * P1;
+        memcpy(&k, p + 8, 8); v2 = rotl(v2 + k * P2, 31) * P1;
+        memcpy(&k, p + 16, 8); v3 = rotl(v3 + k * P2, 31) * P1;
+        memcpy(&k, p + 24, 8); v4 = rotl(v4 + k * P2, 31) * P1;
+    }
+    void update(const uint8_t* p, size_t n) {
+        total += n;
+        if (bufn) {
+            size_t take = 32 - bufn < n ? 32 - bufn : n;
+            memcpy(buf + bufn, p, take);
+            bufn += take;
+            p += take;
+            n -= take;
+            if (bufn == 32) { round4(buf); bufn = 0; }
+        }
+        while (n >= 32) { round4(p); p += 32; n -= 32; }
+        if (n) { memcpy(buf, p, n); bufn = n; }
+    }
+    uint64_t digest() const {
+        uint64_t h;
+        if (total >= 32) {
+            h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18);
+            uint64_t vs[4] = {v1, v2, v3, v4};
+            for (int i = 0; i < 4; i++) {
+                h ^= rotl(vs[i] * P2, 31) * P1;
+                h = h * P1 + P4;
+            }
+        } else {
+            h = /*seed*/ 0 + P5;
+        }
+        h += total;
+        const uint8_t* p = buf;
+        const uint8_t* end = buf + bufn;
+        while (p + 8 <= end) {
+            uint64_t k;
+            memcpy(&k, p, 8);
+            h ^= rotl(k * P2, 31) * P1;
+            h = rotl(h, 27) * P1 + P4;
+            p += 8;
+        }
+        if (p + 4 <= end) {
+            uint32_t k;
+            memcpy(&k, p, 4);
+            h ^= (uint64_t)k * P1;
+            h = rotl(h, 23) * P2 + P3;
+            p += 4;
+        }
+        while (p < end) {
+            h ^= (*p++) * P5;
+            h = rotl(h, 11) * P1;
+        }
+        h ^= h >> 33; h *= P2; h ^= h >> 29; h *= P3; h ^= h >> 32;
+        return h;
+    }
+};
+
+// --- encoder state ---------------------------------------------------------
+struct ZstdEnc2 {
+    int level;
+    int wlog;
+    int checksum;
+    bool header_done;
+    int64_t rep[3];
+    Xxh64 xxh;
+    std::vector<uint8_t> buf;   // history tail + current chunk
+    long long buf_base;
+    std::vector<int64_t> head;  // hash -> stream pos
+    std::vector<int64_t> prev;  // buf idx -> stream pos
+    int hbits;
+
+    void reset() {
+        header_done = false;
+        rep[0] = 1; rep[1] = 4; rep[2] = 8;
+        xxh.reset();
+        buf.clear();
+        buf_base = 0;
+        head.assign((size_t)1 << hbits, -1);
+        prev.clear();
+    }
+};
+
+static inline uint32_t hash4(const uint8_t* p, int hbits) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return (v * 2654435761u) >> (32 - hbits);
+}
+
+// greedy/lazy token parse (same design as compu_brotli_enc2's matcher)
+static void parse_tokens(ZstdEnc2* st, long long cstart, long long cend,
+                         std::vector<int64_t>& tpos, std::vector<int64_t>& tlen,
+                         std::vector<int64_t>& tdist) {
+    const uint8_t* b = st->buf.data();
+    long long n = cend;
+    int lvl = st->level;
+    int depth = lvl <= 2 ? 4 : lvl <= 4 ? 8 : lvl <= 7 ? 16 : lvl <= 12 ? 48 : 128;
+    bool lazy = lvl >= 3;
+    long long window = (1LL << st->wlog);
+    const int hbits = st->hbits;
+    auto find = [&](long long pos, long long* bl, long long* bd) {
+        *bl = 0;
+        *bd = 0;
+        if (pos + 4 > n) return;
+        long long limit = n - pos;
+        long long minpos = st->buf_base + pos - window;
+        int64_t cand = st->head[hash4(b + pos, hbits)];
+        int fails = 0;
+        for (int d = 0; d < depth && cand >= 0; d++) {
+            if (cand < minpos || cand < st->buf_base) break;
+            long long cb = cand - st->buf_base;
+            long long dist = pos - cb;
+            if (dist > 0) {
+                const uint8_t* p1 = b + cb;
+                const uint8_t* p2 = b + pos;
+                if (*bl >= limit || p1[*bl] != p2[*bl]) {
+                    cand = st->prev[(size_t)cb];
+                    continue;
+                }
+                long long l = 0;
+                while (l + 8 <= limit) {
+                    uint64_t x1, x2;
+                    memcpy(&x1, p1 + l, 8);
+                    memcpy(&x2, p2 + l, 8);
+                    if (x1 != x2) {
+                        l += (long long)(__builtin_ctzll(x1 ^ x2) >> 3);
+                        goto done;
+                    }
+                    l += 8;
+                }
+                while (l < limit && p1[l] == p2[l]) l++;
+            done:
+                if (l > *bl || (l == *bl && dist < *bd)) {
+                    *bl = l;
+                    *bd = dist;
+                    fails = 0;
+                } else if (++fails >= 6) {
+                    break;
+                }
+            }
+            cand = st->prev[(size_t)cb];
+        }
+    };
+    auto insert_pos = [&](long long pos) {
+        if (pos + 4 > n) return;
+        uint32_t h = hash4(b + pos, hbits);
+        st->prev[(size_t)pos] = st->head[h];
+        st->head[h] = st->buf_base + pos;
+    };
+    long long i = cstart;
+    long long run_lit = 0;
+    while (i < cend) {
+        long long bl, bd;
+        find(i, &bl, &bd);
+        // distance-gated acceptance: a 4-byte match at a far distance
+        // costs more to code than its literals (predefined-table seq
+        // ~2.5 B); mirror the zlib "too far" heuristic
+        bool take = bl >= 6 || (bl == 5 && bd <= 16384) || (bl == 4 && bd <= 1024);
+        if (take && lazy && bl < 16 && i + 1 < cend) {
+            long long bl2, bd2;
+            insert_pos(i);
+            find(i + 1, &bl2, &bd2);
+            if (bl2 > bl + 1) {
+                tpos.push_back(i);  // literal
+                tlen.push_back(0);
+                tdist.push_back(0);
+                i += 1;
+                continue;
+            }
+        } else if (take) {
+            insert_pos(i);
+        }
+        if (take) {
+            run_lit = 0;
+            tpos.push_back(i);
+            tlen.push_back(bl);
+            tdist.push_back(bd);
+            long long end = i + bl;
+            long long step = lvl >= 8 ? 1 : lvl >= 3 ? 2 : 4;
+            if (bl > 256) step = bl >> 6;
+            for (long long k = i + 1; k < end && k < cend; k += step)
+                insert_pos(k);
+            i = end;
+        } else {
+            insert_pos(i);
+            tpos.push_back(i);
+            tlen.push_back(0);
+            tdist.push_back(0);
+            run_lit++;
+            long long skip = (lvl <= 12 && run_lit > 64)
+                                 ? 1 + ((run_lit - 64) >> 6)
+                                 : 1;
+            // skipped positions are literals too
+            for (long long k = 1; k < skip && i + k < cend; k++) {
+                tpos.push_back(i + k);
+                tlen.push_back(0);
+                tdist.push_back(0);
+            }
+            i += skip;
+        }
+    }
+}
+
+// literals section into `out`; returns false if raw won (caller appends raw)
+static void literals_section(const uint8_t* lits, long long n,
+                             std::vector<uint8_t>& out) {
+    auto raw = [&]() {
+        if (n <= 31) {
+            out.push_back((uint8_t)(0 | (0 << 2) | (n << 3)));
+        } else if (n <= 4095) {
+            out.push_back((uint8_t)(0 | (1 << 2) | ((n & 0xF) << 4)));
+            out.push_back((uint8_t)(n >> 4));
+        } else {
+            out.push_back((uint8_t)(0 | (3 << 2) | ((n & 0xF) << 4)));
+            out.push_back((uint8_t)((n >> 4) & 0xFF));
+            out.push_back((uint8_t)((n >> 12) & 0xFF));
+        }
+        out.insert(out.end(), lits, lits + n);
+    };
+    if (n < 32) { raw(); return; }
+
+    int64_t freq[256] = {0};
+    for (long long i = 0; i < n; i++) freq[lits[i]]++;
+    uint8_t lens[256];
+    huf_lengths(freq, 256, 11, lens);
+    int max_symbol = -1, maxlen = 0, used = 0;
+    for (int s = 0; s < 256; s++)
+        if (lens[s]) { max_symbol = s; used++; if (lens[s] > maxlen) maxlen = lens[s]; }
+    if (used < 2) { raw(); return; }
+    // weights + canonical codes (mirror HufEncoder: ascending weight fill)
+    int m = maxlen;
+    std::vector<int> weights((size_t)max_symbol + 1, 0);
+    for (int s = 0; s <= max_symbol; s++)
+        if (lens[s]) weights[(size_t)s] = m + 1 - lens[s];
+    uint32_t code[256] = {0};
+    int32_t nbits[256] = {0};
+    {
+        int pos = 0;
+        for (int w = 1; w <= m; w++) {
+            int span = 1 << (w - 1);
+            int nb = m + 1 - w;
+            for (int s = 0; s <= max_symbol; s++) {
+                if (weights[(size_t)s] == w) {
+                    code[s] = (uint32_t)(pos >> (m - nb));
+                    nbits[s] = nb;
+                    pos += span;
+                }
+            }
+        }
+    }
+    // description: FSE-compressed weights when profitable, else direct
+    std::vector<uint8_t> desc;
+    {
+        std::vector<uint8_t> trans;
+        for (int s = 0; s < max_symbol; s++)
+            trans.push_back((uint8_t)weights[(size_t)s]);
+        std::vector<uint8_t> fse_blob;
+        if (trans.size() >= 4) {
+            int64_t wfreq[16] = {0};
+            for (uint8_t wv : trans) wfreq[wv]++;
+            std::vector<int> norm;
+            int tl = 0;
+            if (normalize_counts(wfreq, 13, (int64_t)trans.size(), 6, norm,
+                                 &tl)) {
+                FseTable wt;
+                if (build_fse(norm.data(), (int)norm.size(), tl, wt)) {
+                    std::vector<uint8_t> hdr;
+                    write_norm_counts(norm, tl, hdr);
+                    std::vector<uint8_t> payload(trans.size() + 64);
+                    long long pn = compu_fse_pair_stream(
+                        trans.data(), (long long)trans.size(), wt.st.data(),
+                        wt.dn.data(), wt.df.data(), tl, payload.data(),
+                        (long long)payload.size());
+                    if (pn > 0 && hdr.size() + (size_t)pn < 128) {
+                        fse_blob.push_back((uint8_t)(hdr.size() + (size_t)pn));
+                        fse_blob.insert(fse_blob.end(), hdr.begin(), hdr.end());
+                        fse_blob.insert(fse_blob.end(), payload.begin(),
+                                        payload.begin() + pn);
+                    }
+                }
+            }
+        }
+        std::vector<uint8_t> direct;
+        if (trans.size() <= 128) {
+            direct.push_back((uint8_t)(127 + trans.size()));
+            for (size_t i = 0; i < trans.size(); i += 2) {
+                int hi = trans[i] << 4;
+                int lo = i + 1 < trans.size() ? trans[i + 1] : 0;
+                direct.push_back((uint8_t)(hi | lo));
+            }
+        }
+        if (!fse_blob.empty()
+            && (direct.empty() || fse_blob.size() < direct.size()))
+            desc = fse_blob;
+        else if (!direct.empty())
+            desc = direct;
+        else { raw(); return; }
+    }
+
+    if (n <= 1023) {
+        std::vector<uint8_t> stream(n + 64);
+        long long sn = compu_huf_encode_stream(lits, n, code, nbits,
+                                               stream.data(),
+                                               (long long)stream.size());
+        if (sn <= 0) { raw(); return; }
+        long long comp = (long long)desc.size() + sn;
+        if (comp >= n || comp > 1023) { raw(); return; }
+        out.push_back((uint8_t)(2 | (0 << 2) | ((n & 0xF) << 4)));
+        out.push_back((uint8_t)((n >> 4) | ((comp & 3) << 6)));
+        out.push_back((uint8_t)(comp >> 2));
+        out.insert(out.end(), desc.begin(), desc.end());
+        out.insert(out.end(), stream.begin(), stream.begin() + sn);
+        return;
+    }
+    long long per = (n + 3) / 4;
+    long long counts[4] = {per, per, per, n - 3 * per};
+    std::vector<uint8_t> streams[4];
+    long long off = 0;
+    for (int k = 0; k < 4; k++) {
+        streams[k].resize((size_t)counts[k] + 64);
+        long long sn = compu_huf_encode_stream(
+            lits + off, counts[k], code, nbits, streams[k].data(),
+            (long long)streams[k].size());
+        if (sn <= 0 || sn > 0xFFFF) { raw(); return; }
+        streams[k].resize((size_t)sn);
+        off += counts[k];
+    }
+    long long comp = (long long)desc.size() + 6 + (long long)streams[0].size()
+                     + (long long)streams[1].size()
+                     + (long long)streams[2].size()
+                     + (long long)streams[3].size();
+    if (comp >= n) { raw(); return; }
+    if (n <= 16383 && comp <= 16383) {
+        out.push_back((uint8_t)(2 | (2 << 2) | ((n & 0xF) << 4)));
+        out.push_back((uint8_t)((n >> 4) & 0xFF));
+        out.push_back((uint8_t)(((n >> 12) & 3) | ((comp & 0x3F) << 2)));
+        out.push_back((uint8_t)((comp >> 6) & 0xFF));
+    } else {
+        out.push_back((uint8_t)(2 | (3 << 2) | ((n & 0xF) << 4)));
+        out.push_back((uint8_t)((n >> 4) & 0xFF));
+        out.push_back((uint8_t)(((n >> 12) & 0x3F) | ((comp & 3) << 6)));
+        out.push_back((uint8_t)((comp >> 2) & 0xFF));
+        out.push_back((uint8_t)((comp >> 10) & 0xFF));
+    }
+    out.insert(out.end(), desc.begin(), desc.end());
+    for (int k = 0; k < 3; k++) {
+        out.push_back((uint8_t)(streams[k].size() & 0xFF));
+        out.push_back((uint8_t)(streams[k].size() >> 8));
+    }
+    for (int k = 0; k < 4; k++)
+        out.insert(out.end(), streams[k].begin(), streams[k].end());
+}
+
+// one compressed/raw/RLE block for buf[cstart, cend)
+static void compress_block(ZstdEnc2* st, long long cstart, long long cend,
+                           int last, std::vector<uint8_t>& frame) {
+    const uint8_t* data = st->buf.data() + cstart;
+    long long n = cend - cstart;
+    auto block_header = [&](int btype, long long size) {
+        uint32_t h = (uint32_t)(last | (btype << 1) | (size << 3));
+        frame.push_back((uint8_t)(h & 0xFF));
+        frame.push_back((uint8_t)((h >> 8) & 0xFF));
+        frame.push_back((uint8_t)((h >> 16) & 0xFF));
+    };
+    // RLE block
+    bool rle = n > 0;
+    for (long long i = 1; i < n && rle; i++)
+        if (data[i] != data[0]) rle = false;
+    if (rle && n > 3) {
+        block_header(1, n);
+        frame.push_back(data[0]);
+        return;
+    }
+
+    std::vector<int64_t> tpos, tlen, tdist;
+    tpos.reserve((size_t)n / 4);
+    tlen.reserve((size_t)n / 4);
+    tdist.reserve((size_t)n / 4);
+    parse_tokens(st, cstart, cend, tpos, tlen, tdist);
+    // tokens are buf-relative; seq folding wants block-relative positions
+    for (auto& p : tpos) p -= cstart;
+
+    long long ntok = (long long)tpos.size();
+    std::vector<int32_t> ll((size_t)ntok + 1), offv((size_t)ntok + 1),
+        ml((size_t)ntok + 1);
+    std::vector<uint8_t> lits((size_t)n + 8);
+    long long lits_len = 0;
+    long long nseq = compu_zstd_seq_from_tokens(
+        data, ntok, tpos.data(), tlen.data(), tdist.data(), ll.data(),
+        offv.data(), ml.data(), lits.data(), &lits_len);
+
+    std::vector<uint8_t> body;
+    body.reserve((size_t)n);
+    literals_section(lits.data(), lits_len, body);
+
+    // sequences section: predefined tables, repeat-offset resolution
+    int64_t rep_local[3] = {st->rep[0], st->rep[1], st->rep[2]};
+    if (nseq < 128) {
+        body.push_back((uint8_t)nseq);
+    } else if (nseq < 0x7F00) {
+        body.push_back((uint8_t)((nseq >> 8) + 128));
+        body.push_back((uint8_t)(nseq & 0xFF));
+    } else {
+        body.push_back(255);
+        body.push_back((uint8_t)((nseq - 0x7F00) & 0xFF));
+        body.push_back((uint8_t)((nseq - 0x7F00) >> 8));
+    }
+    if (nseq > 0) {
+        std::vector<int64_t> ofval((size_t)nseq);
+        compu_zstd_resolve_offsets(ll.data(), offv.data(), nseq, rep_local,
+                                   ofval.data());
+        std::vector<int32_t> llc((size_t)nseq), mlc((size_t)nseq),
+            ofc((size_t)nseq), llx((size_t)nseq), llxb((size_t)nseq),
+            mlx((size_t)nseq), mlxb((size_t)nseq), ofxb((size_t)nseq);
+        std::vector<int64_t> ofx((size_t)nseq);
+        for (long long i = 0; i < nseq; i++) {
+            int lc = ll_code_of(ll[(size_t)i]);
+            int mc = ml_code_of(ml[(size_t)i]);
+            int oc = highbit(ofval[(size_t)i]);
+            llc[(size_t)i] = lc;
+            mlc[(size_t)i] = mc;
+            ofc[(size_t)i] = oc;
+            llx[(size_t)i] = (int32_t)(ll[(size_t)i] - LL_BASE[lc]);
+            llxb[(size_t)i] = LL_BITS[lc];
+            mlx[(size_t)i] = (int32_t)(ml[(size_t)i] - ML_BASE[mc]);
+            mlxb[(size_t)i] = ML_BITS[mc];
+            ofx[(size_t)i] = ofval[(size_t)i] - (1LL << oc);
+            ofxb[(size_t)i] = oc;
+        }
+        // per-channel coding mode: RLE (single symbol) / custom FSE
+        // (normalized per-block table, when its payload+header beats the
+        // predefined estimate) / predefined. Mirrors the Python planner's
+        // _SeqTable choice with the same cost model.
+        struct Chan {
+            int mode;            // 0 predefined, 1 RLE, 2 custom
+            const FseTable* tab;
+            FseTable own;
+            std::vector<uint8_t> header;
+            int has;             // state machine participates
+        };
+        auto choose = [&](const int32_t* codes, long long cnt, const int* def,
+                          int ndef, const FseTable& deft, int max_sym,
+                          int max_log) {
+            Chan c;
+            c.mode = 0;
+            c.tab = &deft;
+            c.has = 1;
+            int64_t hist[64] = {0};
+            int hi_sym = 0;
+            for (long long i = 0; i < cnt; i++) {
+                hist[codes[i]]++;
+                if (codes[i] > hi_sym) hi_sym = codes[i];
+            }
+            int used = 0, only = -1;
+            for (int s = 0; s <= hi_sym; s++)
+                if (hist[s]) { used++; only = s; }
+            if (used == 1) {
+                c.mode = 1;  // RLE: one byte, no state machine
+                c.has = 0;
+                c.header.push_back((uint8_t)only);
+                return c;
+            }
+            // predefined cost estimate (inf if a code exceeds the table)
+            double pre_bits = 0;
+            bool pre_ok = hi_sym < ndef;
+            if (pre_ok) {
+                for (int s = 0; s <= hi_sym; s++) {
+                    if (!hist[s]) continue;
+                    double p = def[s] == -1 ? 1.0 : (double)def[s];
+                    if (p <= 0) { pre_ok = false; break; }
+                    pre_bits += (double)hist[s]
+                                * (deft.log - std::log2(p));
+                }
+            }
+            std::vector<int> norm;
+            int tl = 0;
+            if (cnt >= 32
+                && normalize_counts(hist, hi_sym + 1, cnt, max_log, norm,
+                                    &tl)) {
+                double own_bits = 0;
+                for (int s = 0; s <= hi_sym; s++) {
+                    if (!hist[s]) continue;
+                    double p = norm[(size_t)s] == -1 ? 1.0
+                                                     : (double)norm[(size_t)s];
+                    own_bits += (double)hist[s] * (tl - std::log2(p));
+                }
+                std::vector<uint8_t> hdr;
+                write_norm_counts(norm, tl, hdr);
+                own_bits += 8.0 * (double)hdr.size();
+                if ((!pre_ok || own_bits < pre_bits)
+                    && build_fse(norm.data(), (int)norm.size(), tl, c.own)) {
+                    c.mode = 2;
+                    c.tab = &c.own;
+                    c.header = hdr;
+                    return c;
+                }
+            }
+            if (!pre_ok) {
+                // fall back to a custom table unconditionally (rare:
+                // codes beyond the predefined alphabet)
+                if (normalize_counts(hist, hi_sym + 1, cnt, max_log, norm,
+                                     &tl)
+                    && build_fse(norm.data(), (int)norm.size(), tl, c.own)) {
+                    c.mode = 2;
+                    c.tab = &c.own;
+                    c.header.clear();
+                    write_norm_counts(norm, tl, c.header);
+                }
+            }
+            return c;
+        };
+        Chan lch = choose(llc.data(), nseq, LL_DEF, 36, ll_table(), 35, 9);
+        Chan och = choose(ofc.data(), nseq, OF_DEF, 29, of_table(), 31, 8);
+        Chan mch = choose(mlc.data(), nseq, ML_DEF, 53, ml_table(), 52, 9);
+        auto mode_bits = [](const Chan& c) {
+            return c.mode == 1 ? 1 : c.mode == 2 ? 2 : 0;
+        };
+        body.push_back((uint8_t)((mode_bits(lch) << 6) | (mode_bits(och) << 4)
+                                 | (mode_bits(mch) << 2)));
+        body.insert(body.end(), lch.header.begin(), lch.header.end());
+        body.insert(body.end(), och.header.begin(), och.header.end());
+        body.insert(body.end(), mch.header.begin(), mch.header.end());
+        std::vector<uint8_t> bits((size_t)nseq * 16 + 64);
+        long long bn = compu_zstd_seq_bitstream(
+            nseq, llc.data(), mlc.data(), ofc.data(), llx.data(), llxb.data(),
+            mlx.data(), mlxb.data(), ofx.data(), ofxb.data(),
+            lch.has, lch.tab->st.data(), lch.tab->dn.data(),
+            lch.tab->df.data(), lch.tab->log,
+            mch.has, mch.tab->st.data(), mch.tab->dn.data(),
+            mch.tab->df.data(), mch.tab->log,
+            och.has, och.tab->st.data(), och.tab->dn.data(),
+            och.tab->df.data(), och.tab->log,
+            bits.data(), (long long)bits.size());
+        if (bn < 0) {
+            block_header(0, n);
+            frame.insert(frame.end(), data, data + n);
+            return;
+        }
+        body.insert(body.end(), bits.begin(), bits.begin() + bn);
+    }
+
+    if ((long long)body.size() >= n) {
+        // raw block: rep history untouched (mirror the Python planner)
+        block_header(0, n);
+        frame.insert(frame.end(), data, data + n);
+        return;
+    }
+    st->rep[0] = rep_local[0];
+    st->rep[1] = rep_local[1];
+    st->rep[2] = rep_local[2];
+    block_header(2, (long long)body.size());
+    frame.insert(frame.end(), body.begin(), body.end());
+}
+
+}  // namespace
+
+extern "C" {
+
+void* compu_zstd2_new(int level, int window_log, int checksum) {
+    ZstdEnc2* st = new ZstdEnc2();
+    st->level = level < 1 ? 1 : level > 22 ? 22 : level;
+    st->wlog = window_log < 10 ? 10 : window_log > 27 ? 27 : window_log;
+    st->checksum = checksum;
+    st->hbits = st->level <= 4 ? 16 : 17;
+    st->reset();
+    return st;
+}
+
+void compu_zstd2_free(void* p) { delete (ZstdEnc2*)p; }
+
+void compu_zstd2_reset(void* p) { ((ZstdEnc2*)p)->reset(); }
+
+// Compress one chunk into zstd frame blocks (<= 128 KiB each). final != 0
+// appends the closing empty raw block and the content checksum. Returns
+// bytes written, -1 on overflow.
+long long compu_zstd2_run(void* p, const uint8_t* in, size_t n, uint8_t* out,
+                          size_t out_cap, int final_flag) {
+    ZstdEnc2* st = (ZstdEnc2*)p;
+    std::vector<uint8_t> frame;
+    frame.reserve(n + (n >> 4) + 64);
+    if (!st->header_done) {
+        uint32_t magic = 0xFD2FB528u;
+        frame.push_back((uint8_t)(magic & 0xFF));
+        frame.push_back((uint8_t)((magic >> 8) & 0xFF));
+        frame.push_back((uint8_t)((magic >> 16) & 0xFF));
+        frame.push_back((uint8_t)(magic >> 24));
+        frame.push_back((uint8_t)(st->checksum ? 0x04 : 0x00));
+        frame.push_back((uint8_t)((st->wlog - 10) << 3));
+        st->header_done = true;
+    }
+    if (n) {
+        long long cstart = (long long)st->buf.size();
+        st->buf.insert(st->buf.end(), in, in + n);
+        st->prev.resize(st->buf.size(), -1);
+        st->xxh.update(in, n);
+        long long maxblk = 128 * 1024;
+        if ((1LL << st->wlog) < maxblk) maxblk = 1LL << st->wlog;
+        for (long long off = cstart; off < (long long)st->buf.size();
+             off += maxblk) {
+            long long end = off + maxblk;
+            if (end > (long long)st->buf.size()) end = (long long)st->buf.size();
+            compress_block(st, off, end, 0, frame);
+        }
+        // slide history past the window
+        long long keep = 1LL << st->wlog;
+        if ((long long)st->buf.size() > keep + (16LL << 20)) {
+            long long drop = (long long)st->buf.size() - keep;
+            st->buf.erase(st->buf.begin(), st->buf.begin() + drop);
+            st->prev.erase(st->prev.begin(), st->prev.begin() + drop);
+            st->buf_base += drop;
+        }
+    }
+    if (final_flag) {
+        // closing empty raw block with the last flag
+        frame.push_back(1);  // last=1 btype=0 size=0
+        frame.push_back(0);
+        frame.push_back(0);
+        if (st->checksum) {
+            uint64_t h = st->xxh.digest();
+            for (int k = 0; k < 4; k++)
+                frame.push_back((uint8_t)((h >> (8 * k)) & 0xFF));
+        }
+    }
+    if (frame.size() > out_cap) return -1;
+    memcpy(out, frame.data(), frame.size());
+    return (long long)frame.size();
+}
+
+}  // extern "C"
