@@ -226,6 +226,45 @@ def zstd_device_stage_mbps(corpus: bytes, chain: int = 4) -> float:
     return n / perb / 1e6
 
 
+def native_encode_numbers(corpus: bytes, smoke: bool) -> dict:
+    """Standalone C++ encoder throughput (the second implementations:
+    Interface.zstd_native / Interface.brotli_native), foreign-oracle
+    validated."""
+    import zstandard as zstd_mod
+
+    from compu_tpu import ByteVec, encoder
+    from compu_tpu.formats.brotli.options import BrotliOptions
+    from compu_tpu.formats.zstd.options import ZstdOptions
+    from compu_tpu.status import EncodeOp
+
+    sys.path.insert(0, "tests")
+    import brotli_oracle
+
+    sl = corpus[: (1 << 20) if smoke else (8 << 20)]
+    out = {}
+    for name, iface, dec in (
+        ("zstd_native_enc",
+         encoder.Interface.zstd_native(ZstdOptions(level=3, window_log=23)),
+         lambda b: zstd_mod.ZstdDecompressor().decompress(
+             b, max_output_size=len(sl) + 64)),
+        ("brotli_native_enc",
+         encoder.Interface.brotli_native(BrotliOptions(quality=5)),
+         lambda b: brotli_oracle.decompress(b, len(sl) + 64)),
+    ):
+        try:
+            vec = ByteVec()
+            t0 = time.time()
+            iface.encode_vec_full(sl, vec, EncodeOp.Finish)
+            dt = time.time() - t0
+            blob = vec.data()
+            assert dec(blob) == sl, f"{name} roundtrip"
+            out[f"{name}_MBps"] = round(len(sl) / dt / 1e6, 1)
+            out[f"{name}_ratio"] = round(len(sl) / len(blob), 2)
+        except Exception as exc:  # pragma: no cover
+            out[f"{name}_error"] = type(exc).__name__
+    return out
+
+
 def format_decode_numbers(corpus: bytes, smoke: bool) -> dict:
     """Native host decode throughput for zstd / brotli (VERDICT r3 item 5:
     unmeasured = unmanaged). Streams come from the foreign reference
@@ -394,6 +433,7 @@ def main() -> None:
     dec_kern = 0.0 if smoke else decode_kernel_mbps(stream, index)
     fmt = hybrid_format_numbers(corpus, smoke)
     fmt.update(format_decode_numbers(corpus, smoke))
+    fmt.update(native_encode_numbers(corpus, smoke))
     if not smoke:
         try:
             fmt["zstd_device_stage_MBps"] = round(
