@@ -448,9 +448,10 @@ struct BrEnc2 {
     long long buf_base;   // stream offset of buf[0]
     long long total_in;
     long long ring[4];
-    // hash chains over buf
-    std::vector<int64_t> head;   // hash -> last stream pos
-    std::vector<int64_t> prev;   // buf index -> previous stream pos
+    // hash chains over buf (buf-relative int32: half the chain-walk
+    // memory traffic; rebased on window slide)
+    std::vector<int32_t> head;   // hash -> buf index (-1 empty)
+    std::vector<int32_t> prev;   // buf index -> previous buf index
     int hbits;
 
     void reset() {
@@ -537,7 +538,7 @@ static void parse_chunk(BrEnc2* st, long long cstart, long long cend,
         if (pos + 4 > n) return;
         uint32_t h = hash4(b + pos, hbits);
         st->prev[(size_t)pos] = st->head[h];
-        st->head[h] = st->buf_base + pos;
+        st->head[h] = (int32_t)pos;
     };
     long long minmatch = st->quality <= 3 ? 6 : 4;
     long long run_lit = 0;  // consecutive literals: drives the skip rate
@@ -763,6 +764,10 @@ long long compu_brenc2_run(void* p, const uint8_t* in, size_t n,
             long long drop = (long long)st->buf.size() - keep;
             st->buf.erase(st->buf.begin(), st->buf.begin() + drop);
             st->prev.erase(st->prev.begin(), st->prev.begin() + drop);
+            for (auto& h : st->head)
+                h = h >= (int32_t)drop ? h - (int32_t)drop : -1;
+            for (auto& pv : st->prev)
+                pv = pv >= (int32_t)drop ? pv - (int32_t)drop : -1;
             st->buf_base += drop;
         }
     }

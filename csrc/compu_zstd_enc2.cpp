@@ -460,8 +460,8 @@ struct ZstdEnc2 {
     Xxh64 xxh;
     std::vector<uint8_t> buf;   // history tail + current chunk
     long long buf_base;
-    std::vector<int64_t> head;  // hash -> stream pos
-    std::vector<int64_t> prev;  // buf idx -> stream pos
+    std::vector<int32_t> head;  // hash -> buf index (-1 empty)
+    std::vector<int32_t> prev;  // buf idx -> previous buf index
     int hbits;
 
     void reset() {
@@ -482,6 +482,8 @@ static inline uint32_t hash4(const uint8_t* p, int hbits) {
 }
 
 // greedy/lazy token parse (same design as compu_brotli_enc2's matcher)
+// matches only (pos, len, dist); literals are the gaps — avoids a
+// 24 B/byte token vector on literal-heavy data
 static void parse_tokens(ZstdEnc2* st, long long cstart, long long cend,
                          std::vector<int64_t>& tpos, std::vector<int64_t>& tlen,
                          std::vector<int64_t>& tdist) {
@@ -497,12 +499,12 @@ static void parse_tokens(ZstdEnc2* st, long long cstart, long long cend,
         *bd = 0;
         if (pos + 4 > n) return;
         long long limit = n - pos;
-        long long minpos = st->buf_base + pos - window;
-        int64_t cand = st->head[hash4(b + pos, hbits)];
+        long long minpos = pos - window;  // buf-relative
+        int32_t cand = st->head[hash4(b + pos, hbits)];
         int fails = 0;
         for (int d = 0; d < depth && cand >= 0; d++) {
-            if (cand < minpos || cand < st->buf_base) break;
-            long long cb = cand - st->buf_base;
+            if (cand < minpos) break;
+            long long cb = cand;
             long long dist = pos - cb;
             if (dist > 0) {
                 const uint8_t* p1 = b + cb;
@@ -539,7 +541,7 @@ static void parse_tokens(ZstdEnc2* st, long long cstart, long long cend,
         if (pos + 4 > n) return;
         uint32_t h = hash4(b + pos, hbits);
         st->prev[(size_t)pos] = st->head[h];
-        st->head[h] = st->buf_base + pos;
+        st->head[h] = (int32_t)pos;
     };
     long long i = cstart;
     long long run_lit = 0;
@@ -555,10 +557,7 @@ static void parse_tokens(ZstdEnc2* st, long long cstart, long long cend,
             insert_pos(i);
             find(i + 1, &bl2, &bd2);
             if (bl2 > bl + 1) {
-                tpos.push_back(i);  // literal
-                tlen.push_back(0);
-                tdist.push_back(0);
-                i += 1;
+                i += 1;  // literal (implicit: the gap before the next match)
                 continue;
             }
         } else if (take) {
@@ -577,19 +576,10 @@ static void parse_tokens(ZstdEnc2* st, long long cstart, long long cend,
             i = end;
         } else {
             insert_pos(i);
-            tpos.push_back(i);
-            tlen.push_back(0);
-            tdist.push_back(0);
             run_lit++;
             long long skip = (lvl <= 12 && run_lit > 64)
                                  ? 1 + ((run_lit - 64) >> 6)
                                  : 1;
-            // skipped positions are literals too
-            for (long long k = 1; k < skip && i + k < cend; k++) {
-                tpos.push_back(i + k);
-                tlen.push_back(0);
-                tdist.push_back(0);
-            }
             i += skip;
         }
     }
@@ -767,21 +757,43 @@ static void compress_block(ZstdEnc2* st, long long cstart, long long cend,
     }
 
     std::vector<int64_t> tpos, tlen, tdist;
-    tpos.reserve((size_t)n / 4);
-    tlen.reserve((size_t)n / 4);
-    tdist.reserve((size_t)n / 4);
+    tpos.reserve((size_t)n / 16);
+    tlen.reserve((size_t)n / 16);
+    tdist.reserve((size_t)n / 16);
     parse_tokens(st, cstart, cend, tpos, tlen, tdist);
-    // tokens are buf-relative; seq folding wants block-relative positions
+    // matches are buf-relative; sequences want block-relative positions
     for (auto& p : tpos) p -= cstart;
 
-    long long ntok = (long long)tpos.size();
-    std::vector<int32_t> ll((size_t)ntok + 1), offv((size_t)ntok + 1),
-        ml((size_t)ntok + 1);
+    // fold matches + literal gaps into sequences (same merge rule as
+    // compu_zstd_seq_from_tokens: adjacent same-distance matches with no
+    // literals between them concatenate, ML ceiling 131074)
+    long long nmatch = (long long)tpos.size();
+    std::vector<int32_t> ll((size_t)nmatch + 1), offv((size_t)nmatch + 1),
+        ml((size_t)nmatch + 1);
     std::vector<uint8_t> lits((size_t)n + 8);
     long long lits_len = 0;
-    long long nseq = compu_zstd_seq_from_tokens(
-        data, ntok, tpos.data(), tlen.data(), tdist.data(), ll.data(),
-        offv.data(), ml.data(), lits.data(), &lits_len);
+    long long nseq = 0;
+    long long prev_end = 0;
+    for (long long i = 0; i < nmatch; i++) {
+        long long litrun = tpos[(size_t)i] - prev_end;
+        if (nseq > 0 && litrun == 0
+            && offv[(size_t)nseq - 1] == (int32_t)tdist[(size_t)i]
+            && (long long)ml[(size_t)nseq - 1] + tlen[(size_t)i] <= 131074) {
+            ml[(size_t)nseq - 1] += (int32_t)tlen[(size_t)i];
+        } else {
+            memcpy(lits.data() + lits_len, data + prev_end, (size_t)litrun);
+            lits_len += litrun;
+            ll[(size_t)nseq] = (int32_t)litrun;
+            offv[(size_t)nseq] = (int32_t)tdist[(size_t)i];
+            ml[(size_t)nseq] = (int32_t)tlen[(size_t)i];
+            nseq++;
+        }
+        prev_end = tpos[(size_t)i] + tlen[(size_t)i];
+    }
+    if (prev_end < n) {
+        memcpy(lits.data() + lits_len, data + prev_end, (size_t)(n - prev_end));
+        lits_len += n - prev_end;
+    }
 
     std::vector<uint8_t> body;
     body.reserve((size_t)n);
@@ -995,12 +1007,16 @@ long long compu_zstd2_run(void* p, const uint8_t* in, size_t n, uint8_t* out,
             if (end > (long long)st->buf.size()) end = (long long)st->buf.size();
             compress_block(st, off, end, 0, frame);
         }
-        // slide history past the window
+        // slide history past the window: rebase the buf-relative tables
         long long keep = 1LL << st->wlog;
         if ((long long)st->buf.size() > keep + (16LL << 20)) {
             long long drop = (long long)st->buf.size() - keep;
             st->buf.erase(st->buf.begin(), st->buf.begin() + drop);
             st->prev.erase(st->prev.begin(), st->prev.begin() + drop);
+            for (auto& h : st->head)
+                h = h >= (int32_t)drop ? h - (int32_t)drop : -1;
+            for (auto& pv : st->prev)
+                pv = pv >= (int32_t)drop ? pv - (int32_t)drop : -1;
             st->buf_base += drop;
         }
     }
