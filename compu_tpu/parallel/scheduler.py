@@ -272,7 +272,13 @@ class BlockParallelDecoder:
             index.compressed_lengths, index.raw_lengths,
         ))
         if nblocks > 1:
-            with ThreadPoolExecutor(max_workers=min(8, nblocks)) as pool:
+            import os as _os
+
+            # workers = cores: oversubscribing a small host thrashes the
+            # GIL-released C++ decoders' caches (8 workers on 2 cores
+            # measured SLOWER than single-stream)
+            workers = min(_os.cpu_count() or 1, nblocks, 8)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
                 futs = [pool.submit(one, *j) for j in jobs]
                 pieces = [f.result() for f in futs]
         else:

@@ -15,10 +15,10 @@
 // frame header and streaming xxh64 content checksum — in C++, reusing
 // the per-stage extern loops from compu_zstd_enc.cpp.
 //
-// Simplifications vs the Python planner (all format-valid): sequence
-// channels always use the PREDEFINED distributions (mode 0 — zero table
-// headers; a few % ratio vs per-block custom FSE), matcher minimum match
-// is 4 (hash-4 chains), dictionary-less.
+// Sequence channels pick RLE / custom normalized FSE / predefined per
+// block by estimated cost (the Python planner's _SeqTable choice);
+// matcher minimum match is 4 (hash-4 chains) with distance-gated
+// acceptance; dictionary-less.
 
 #include <algorithm>
 #include <cmath>
