@@ -475,6 +475,15 @@ static inline uint32_t hash4(const uint8_t* p, int hbits) {
     return (v * 2654435761u) >> (32 - hbits);
 }
 
+// 5-byte hash for mid/high qualities (smaller buckets on text; the
+// minimum found match becomes 5, which the q>=4 parse prefers anyway)
+static inline uint32_t hash5(const uint8_t* p, int hbits) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    v &= 0xFFFFFFFFFFULL;
+    return (uint32_t)((v * 0x9E3779B185EBCA87ULL) >> (64 - hbits));
+}
+
 // greedy/lazy hash-chain parse of chunk [cstart, cend) within st->buf
 static void parse_chunk(BrEnc2* st, long long cstart, long long cend,
                         std::vector<Cmd>& cmds) {
@@ -483,21 +492,23 @@ static void parse_chunk(BrEnc2* st, long long cstart, long long cend,
     int depth = st->quality <= 2 ? 8 : st->quality <= 5 ? 12
                 : st->quality <= 9 ? 48 : 192;
     bool lazy = st->quality >= 4;
+    bool h5 = st->quality >= 4;
     long long ins_start = cstart;
     long long i = cstart;
     const int hbits = st->hbits;
     auto find = [&](long long pos, long long* bl, long long* bd) {
         *bl = 0;
         *bd = 0;
-        if (pos + 4 > n) return;
+        if (pos + 8 > n) return;
         long long limit = n - pos;
         if (limit > (1 << 24)) limit = 1 << 24;
-        long long minpos_stream = st->buf_base + pos - st->window_size;
+        long long minpos = pos - st->window_size;  // buf-relative
         int fails = 0;
-        int64_t cand = st->head[hash4(b + pos, hbits)];
+        int32_t cand = st->head[h5 ? hash5(b + pos, hbits)
+                                   : hash4(b + pos, hbits)];
         for (int d = 0; d < depth && cand >= 0; d++) {
-            if (cand < minpos_stream || cand < st->buf_base) break;
-            long long cb = cand - st->buf_base;  // buf index
+            if (cand < minpos) break;
+            long long cb = cand;
             long long dist = pos - cb;
             if (dist > 0) {
                 const uint8_t* p1 = b + cb;
@@ -535,8 +546,8 @@ static void parse_chunk(BrEnc2* st, long long cstart, long long cend,
         }
     };
     auto insert_pos = [&](long long pos) {
-        if (pos + 4 > n) return;
-        uint32_t h = hash4(b + pos, hbits);
+        if (pos + 8 > n) return;
+        uint32_t h = h5 ? hash5(b + pos, hbits) : hash4(b + pos, hbits);
         st->prev[(size_t)pos] = st->head[h];
         st->head[h] = (int32_t)pos;
     };

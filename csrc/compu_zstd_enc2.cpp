@@ -481,6 +481,17 @@ static inline uint32_t hash4(const uint8_t* p, int hbits) {
     return (v * 2654435761u) >> (32 - hbits);
 }
 
+// 5-byte hash for mid/high levels: 4-byte buckets on text are dominated
+// by a few common tetragrams, polluting the chains; hashing 5 bytes
+// shrinks buckets (minimum found match becomes 5 — the distance gate
+// already rejects most 4-byte matches)
+static inline uint32_t hash5(const uint8_t* p, int hbits) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    v &= 0xFFFFFFFFFFULL;
+    return (uint32_t)((v * 0x9E3779B185EBCA87ULL) >> (64 - hbits));
+}
+
 // greedy/lazy token parse (same design as compu_brotli_enc2's matcher)
 // matches only (pos, len, dist); literals are the gaps — avoids a
 // 24 B/byte token vector on literal-heavy data
@@ -492,15 +503,17 @@ static void parse_tokens(ZstdEnc2* st, long long cstart, long long cend,
     int lvl = st->level;
     int depth = lvl <= 2 ? 4 : lvl <= 4 ? 8 : lvl <= 7 ? 16 : lvl <= 12 ? 48 : 128;
     bool lazy = lvl >= 3;
+    bool h5 = lvl >= 4;
     long long window = (1LL << st->wlog);
     const int hbits = st->hbits;
     auto find = [&](long long pos, long long* bl, long long* bd) {
         *bl = 0;
         *bd = 0;
-        if (pos + 4 > n) return;
+        if (pos + 8 > n) return;
         long long limit = n - pos;
         long long minpos = pos - window;  // buf-relative
-        int32_t cand = st->head[hash4(b + pos, hbits)];
+        int32_t cand = st->head[h5 ? hash5(b + pos, hbits)
+                                   : hash4(b + pos, hbits)];
         int fails = 0;
         for (int d = 0; d < depth && cand >= 0; d++) {
             if (cand < minpos) break;
@@ -538,8 +551,8 @@ static void parse_tokens(ZstdEnc2* st, long long cstart, long long cend,
         }
     };
     auto insert_pos = [&](long long pos) {
-        if (pos + 4 > n) return;
-        uint32_t h = hash4(b + pos, hbits);
+        if (pos + 8 > n) return;
+        uint32_t h = h5 ? hash5(b + pos, hbits) : hash4(b + pos, hbits);
         st->prev[(size_t)pos] = st->head[h];
         st->head[h] = (int32_t)pos;
     };
