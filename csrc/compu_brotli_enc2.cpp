@@ -493,6 +493,7 @@ static void parse_chunk(BrEnc2* st, long long cstart, long long cend,
                 : st->quality <= 9 ? 48 : 192;
     bool lazy = st->quality >= 4;
     bool h5 = st->quality >= 4;
+    long long nice = st->quality <= 4 ? 32 : st->quality <= 8 ? 64 : 128;
     long long ins_start = cstart;
     long long i = cstart;
     const int hbits = st->hbits;
@@ -538,6 +539,7 @@ static void parse_chunk(BrEnc2* st, long long cstart, long long cend,
                     *bl = l;
                     *bd = dist;
                     fails = 0;
+                    if (l >= nice) break;  // long enough: stop the walk
                 } else if (++fails >= 6) {
                     break;  // futile chain (dense short-match data)
                 }

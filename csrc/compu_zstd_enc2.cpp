@@ -504,6 +504,7 @@ static void parse_tokens(ZstdEnc2* st, long long cstart, long long cend,
     int depth = lvl <= 2 ? 4 : lvl <= 4 ? 8 : lvl <= 7 ? 16 : lvl <= 12 ? 48 : 128;
     bool lazy = lvl >= 3;
     bool h5 = lvl >= 4;
+    long long nice = lvl <= 4 ? 32 : lvl <= 7 ? 64 : 128;
     long long window = (1LL << st->wlog);
     const int hbits = st->hbits;
     auto find = [&](long long pos, long long* bl, long long* bd) {
@@ -543,8 +544,9 @@ static void parse_tokens(ZstdEnc2* st, long long cstart, long long cend,
                     *bl = l;
                     *bd = dist;
                     fails = 0;
+                    if (l >= nice) break;  // long enough: stop the walk
                 } else if (++fails >= 6) {
-                    break;
+                    break;  // futile chain (dense short-match data)
                 }
             }
             cand = st->prev[(size_t)cb];
