@@ -71,6 +71,38 @@ def make_sharded_encode_step(mesh: Mesh, *, depth: int = 8, nice: int = 128,
     return jax.jit(sharded)
 
 
+def make_stream_sharded_literal_step(mesh: Mesh, *, cap: int):
+    """Intra-block sequence-parallel analogue on a REAL codec stage: the
+    four Huffman literal streams of a zstd block are independent BY FORMAT
+    DESIGN (RFC 8878 §3.1.1.3 — that is why the 4-stream variant exists),
+    so one block's entropy coding shards across devices: stream lanes
+    spread over ``dp``, each device packs its local lanes
+    (kernels/zstd_literals_jax.py's writer, byte-identical to the host
+    BackwardBitWriter), and an all_gather returns every stream + length
+    replicated for host assembly. With 8 devices and 2 blocks, each
+    block's four streams genuinely span four devices — cross-device
+    sharding INSIDE one block, not just block data-parallelism.
+
+    ``step(mat u8[L, P], counts i32[L], code u32[256], nbits i32[256])``
+    with L divisible by the dp axis size; returns
+    (streams u8[L, cap] replicated, nbytes i32[L] replicated)."""
+    from ..kernels.zstd_literals_jax import _encode_streams
+
+    def local(mat, counts, code, nbits):
+        out, nb = _encode_streams(mat, counts, code, nbits, cap=cap)
+        return (jax.lax.all_gather(out, "dp", tiled=True),
+                jax.lax.all_gather(nb, "dp", tiled=True))
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp"), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # all_gather outputs are replicated by construction
+    )
+    return jax.jit(sharded)
+
+
 def make_lane_sharded_crc(mesh: Mesh, *, lanes_per_device: int = 256):
     """crc32 lane registers of one block, lanes sharded over the ``lane``
     mesh axis (intra-block parallelism). Returns all lane registers
