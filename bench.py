@@ -416,6 +416,22 @@ def main() -> None:
     except Exception:
         dt_nat = float("inf")
 
+    # Threaded HOST encode through the scheduler (one GIL-releasing C++
+    # deflate call per block, pooled) — on a tunnel-attached device this
+    # engine can beat the device e2e outright.
+    try:
+        from compu_tpu.parallel.scheduler import make_host_block_encode_fn
+
+        hfn = make_host_block_encode_fn(ZlibMode.Gzip, level=LEVEL)
+        henc = BlockParallelEncoder(hfn, block_size=BLOCK, mode=ZlibMode.Gzip)
+        hs, _ = henc.encode(corpus)  # warm
+        t5 = time.time()
+        hs, _ = henc.encode(corpus)
+        dt_henc = time.time() - t5
+        assert zlib.decompress(hs, wbits=31) == corpus
+    except Exception:
+        dt_henc = float("inf")
+
     # Threaded host decode of the same standard stream through the
     # scheduler (independent blocks across a pool; GIL released in the
     # C++ decoder).
@@ -455,6 +471,7 @@ def main() -> None:
             "decode_kernel_MBps": round(dec_kern, 1),
             "decode_native_host_MBps": round(n / dt_nat / 1e6, 1),
             "decode_host_parallel_MBps": round(n / dt_par / 1e6, 1),
+            "encode_host_parallel_MBps": round(n / dt_henc / 1e6, 1),
             "level": LEVEL,
             "e2e_breakdown_ms": breakdown,
             **fmt,

@@ -366,6 +366,48 @@ class BlockParallelDecoder:
         return b"".join(pieces)
 
 
+def make_host_block_encode_fn(mode: ZlibMode, level: int = 6,
+                              workers: int | None = None):
+    """Threaded HOST block-encode step with the BlockParallelEncoder
+    contract — the scheduler's CPU engine. Each block is one
+    GIL-releasing C++ deflate call (window reset per block keeps blocks
+    independent) plus a native checksum, pooled across cores; on a
+    tunnel-attached device this path can beat the device e2e outright
+    (the scheduler composes either engine behind one stream format)."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..formats.deflate.pipeline import _NativeDeflateStream
+
+    nworkers = workers or min(_os.cpu_count() or 1, 8)
+
+    def encode_one(data: bytes):
+        s = _NativeDeflateStream(level)
+        blob = s.compress(data, final=False) + s.sync_flush()
+        if mode is ZlibMode.Zlib:
+            chk = checksum.adler32(data, 1)
+        else:
+            chk = checksum.crc32(data, 0)
+        return blob, chk
+
+    def fn(blocks, lens):
+        import numpy as _np
+
+        B = blocks.shape[0]
+        datas = [bytes(blocks[i, : int(lens[i])].tobytes()) for i in range(B)]
+        if B > 1 and nworkers > 1:
+            with ThreadPoolExecutor(max_workers=min(nworkers, B)) as pool:
+                results = list(pool.map(encode_one, datas))
+        else:
+            results = [encode_one(d) for d in datas]
+        out = [_np.frombuffer(blob, dtype=_np.uint8) for blob, _ in results]
+        out_lens = _np.asarray([len(blob) for blob, _ in results], _np.int64)
+        checks = _np.asarray([chk for _, chk in results], _np.uint32)
+        return out, out_lens, checks
+
+    return fn
+
+
 def _host_encode_block(data: bytes, mode: ZlibMode) -> tuple[bytes, int]:
     """Host-oracle encode of one block: a self-contained raw-deflate run
     terminated by a sync flush (byte-aligned), plus the block checksum the

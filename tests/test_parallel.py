@@ -135,3 +135,25 @@ def test_stream_sharded_literals_intra_block():
     for i, c in enumerate(chunks):
         want = enc.encode_stream(c)  # host BackwardBitWriter oracle
         assert out[i, : nb[i]].tobytes() == want, f"stream {i}"
+
+
+def test_host_block_encode_engine():
+    """Threaded host encode engine behind the same scheduler contract:
+    standard gzip out, stock-zlib accepted, index decodes block-parallel."""
+    from compu_tpu.parallel.scheduler import (BlockParallelDecoder,
+                                              BlockParallelEncoder,
+                                              make_host_block_encode_fn)
+
+    data = (pathlib.Path(__file__).parent / "data" / "alice29.txt"
+            ).read_bytes() * 3
+    fn = make_host_block_encode_fn(ZlibMode.Gzip, level=6)
+    enc = BlockParallelEncoder(fn, block_size=1 << 17, mode=ZlibMode.Gzip)
+    stream, index = enc.encode(data)
+    assert zlib.decompress(stream, wbits=31) == data
+    dec = BlockParallelDecoder(device=False, block_size=1 << 17)
+    assert dec.decode(stream, index) == data
+    # zlib framing too
+    fnz = make_host_block_encode_fn(ZlibMode.Zlib, level=6)
+    encz = BlockParallelEncoder(fnz, block_size=1 << 17, mode=ZlibMode.Zlib)
+    sz, _ = encz.encode(data)
+    assert zlib.decompress(sz) == data
