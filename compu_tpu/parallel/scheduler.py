@@ -408,6 +408,39 @@ def make_host_block_encode_fn(mode: ZlibMode, level: int = 6,
     return fn
 
 
+def parallel_zstd_compress(data: bytes, level: int = 3,
+                           frame_size: int = 1 << 20,
+                           workers: int | None = None,
+                           window_log: int = 21,
+                           checksum_frames: bool = True) -> bytes:
+    """Frame-parallel zstd encode (SURVEY §2c: zstd FRAMES are the
+    format's self-contained independent blocks): each ~frame_size slice
+    becomes one complete frame via the standalone C++ encoder (GIL
+    released inside the call), pooled across cores; the concatenation is
+    a standard multi-frame zstd stream every conforming streaming
+    decoder (including this repo's two) accepts."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..formats.zstd.native_enc2 import NativeZstdStream
+
+    chunks = [data[i:i + frame_size]
+              for i in range(0, max(len(data), 1), frame_size)] or [b""]
+
+    def one(chunk: bytes) -> bytes:
+        s = NativeZstdStream(level=level, window_log=window_log,
+                             checksum=checksum_frames)
+        return s.compress_chunk(chunk, final=True)
+
+    nworkers = workers or min(_os.cpu_count() or 1, 8)
+    if len(chunks) > 1 and nworkers > 1:
+        with ThreadPoolExecutor(max_workers=min(nworkers, len(chunks))) as p:
+            frames = list(p.map(one, chunks))
+    else:
+        frames = [one(c) for c in chunks]
+    return b"".join(frames)
+
+
 def _host_encode_block(data: bytes, mode: ZlibMode) -> tuple[bytes, int]:
     """Host-oracle encode of one block: a self-contained raw-deflate run
     terminated by a sync flush (byte-aligned), plus the block checksum the

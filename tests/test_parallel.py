@@ -157,3 +157,42 @@ def test_host_block_encode_engine():
     encz = BlockParallelEncoder(fnz, block_size=1 << 17, mode=ZlibMode.Zlib)
     sz, _ = encz.encode(data)
     assert zlib.decompress(sz) == data
+
+
+def test_parallel_zstd_frames():
+    """Frame-parallel zstd: independent frames across a pool concatenate
+    into a standard multi-frame stream both in-repo decoders and the
+    foreign streaming decoder accept."""
+    import io
+
+    import zstandard
+
+    from compu_tpu import ByteVec, decoder
+    from compu_tpu.formats.zstd.native_enc2 import available
+    from compu_tpu.parallel.scheduler import parallel_zstd_compress
+
+    if not available():
+        pytest.skip("native runtime unavailable")
+    data = (pathlib.Path(__file__).parent / "data" / "alice29.txt"
+            ).read_bytes() * 4
+    stream = parallel_zstd_compress(data, level=3, frame_size=1 << 17)
+    # foreign streaming decoder (multi-frame)
+    r = zstandard.ZstdDecompressor().stream_reader(io.BytesIO(stream),
+                                                   read_across_frames=True)
+    assert r.read(len(data) + 64) == data
+    # both in-repo decoders: Finished fires per frame (the reference's
+    # zstd adapter contract); the caller resets and continues on the
+    # remaining input
+    for mk in (decoder.Interface.zstd, decoder.Interface.zstd_native):
+        d = mk()
+        out = bytearray()
+        rest = memoryview(stream)
+        while len(rest):
+            vec = ByteVec()
+            vec.reserve_exact(len(data) + 4096)
+            res = d.decode_vec_full(bytes(rest), vec)
+            assert not res.is_error
+            out.extend(vec.data())
+            rest = rest[len(rest) - res.input_remain:]
+            assert d.reset()
+        assert bytes(out) == data
